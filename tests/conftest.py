@@ -1,0 +1,19 @@
+"""Test configuration: CPU backend, f64, 8-device virtual mesh.
+
+Multi-chip sharding tests run on a virtual CPU mesh per SURVEY.md §4
+("xla_force_host_platform_device_count style CPU-mesh fakes"); solver
+correctness tests need native f64 (truth generation at 1e-12 tolerances,
+SURVEY.md C27).  Note: the environment may rewrite JAX_PLATFORMS (a TPU
+plugin prepends itself), so the platform is forced via jax.config, which
+wins over the env var.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

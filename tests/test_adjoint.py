@@ -1,0 +1,94 @@
+"""Gradient-equivalence tests across all sensitivity algorithms (SURVEY.md §7 M2).
+
+Checks every sensealg against finite differences and against each other on a
+parameterized nonlinear ODE — the build plan's "gradient-equivalence tests
+across all three" (forward, discrete reverse, continuous adjoints).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import universal_differential_equations_tpu as ude
+
+
+def _loss_fn(adjoint):
+    ts = jnp.linspace(0.0, 3.0, 7)
+
+    def rhs(t, y, args):
+        x, z = y[0], y[1]
+        a, b, g, d = args["p"]
+        return jnp.array([a * x - b * x * z, g * x * z - d * z])
+
+    target = jnp.stack([jnp.ones(7) * 1.0, jnp.ones(7) * 0.5], axis=-1)
+
+    def loss(params, u0):
+        prob = ude.ODEProblem(rhs, u0, (0.0, 3.0), args=params)
+        sol = ude.solve(prob, ude.Tsit5(), saveat=ts, rtol=1e-8, atol=1e-10,
+                        adjoint=adjoint)
+        return jnp.sum((sol.ys - target) ** 2)
+
+    return loss
+
+
+P0 = {"p": jnp.array([1.3, 0.9, 0.8, 1.8])}
+U0 = jnp.array([0.44249296, 4.6280594])
+
+
+def _fd_grad(loss, params, u0, eps=1e-6):
+    flat, unravel = jax.flatten_util.ravel_pytree((params, u0))
+    base = np.zeros(flat.shape[0])
+    for i in range(flat.shape[0]):
+        lo = loss(*unravel(flat.at[i].add(-eps)))
+        hi = loss(*unravel(flat.at[i].add(+eps)))
+        base[i] = (float(hi) - float(lo)) / (2 * eps)
+    return base
+
+
+@pytest.fixture(scope="module")
+def fd_reference():
+    loss = _loss_fn(ude.DiscreteAdjoint())
+    return _fd_grad(loss, P0, U0)
+
+
+@pytest.mark.parametrize(
+    "adjoint",
+    [
+        ude.DiscreteAdjoint(),
+        ude.DiscreteAdjoint(checkpoint=False),
+        ude.InterpolatingAdjoint(),
+        ude.BacksolveAdjoint(),
+    ],
+    ids=["discrete", "discrete-noremat", "interpolating", "backsolve"],
+)
+def test_reverse_gradients_match_fd(adjoint, fd_reference):
+    loss = _loss_fn(adjoint)
+    gp, gu = jax.grad(loss, argnums=(0, 1))(P0, U0)
+    flat, _ = jax.flatten_util.ravel_pytree((gp, gu))
+    np.testing.assert_allclose(np.asarray(flat), fd_reference, rtol=2e-4, atol=1e-5)
+
+
+def test_forward_mode_matches_fd(fd_reference):
+    # ForwardDiffSensitivity analogue (C7): jacfwd through the scan stepper.
+    loss = _loss_fn(ude.ForwardSensitivity())
+    gp, gu = jax.jacfwd(loss, argnums=(0, 1))(P0, U0)
+    flat, _ = jax.flatten_util.ravel_pytree((gp, gu))
+    np.testing.assert_allclose(np.asarray(flat), fd_reference, rtol=2e-4, atol=1e-5)
+
+
+def test_grad_jits_and_vmaps():
+    loss = _loss_fn(ude.InterpolatingAdjoint())
+    g = jax.jit(jax.grad(loss))(P0, U0)
+    assert np.all(np.isfinite(jax.flatten_util.ravel_pytree(g)[0]))
+    # vmap over a batch of initial conditions (ensemble axis, SURVEY.md §2.4)
+    u0s = jnp.stack([U0, U0 * 1.1, U0 * 0.9])
+    gs = jax.vmap(lambda u: jax.grad(loss)(P0, u)["p"])(u0s)
+    assert gs.shape == (3, 4)
+    assert np.all(np.isfinite(np.asarray(gs)))
+
+
+def test_continuous_adjoint_matches_discrete_tightly():
+    g_disc = jax.grad(_loss_fn(ude.DiscreteAdjoint()))(P0, U0)["p"]
+    g_int = jax.grad(_loss_fn(ude.InterpolatingAdjoint()))(P0, U0)["p"]
+    np.testing.assert_allclose(np.asarray(g_int), np.asarray(g_disc),
+                               rtol=1e-4, atol=1e-7)

@@ -1,0 +1,32 @@
+"""universal_differential_equations_tpu — TPU-native universal differential equations.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+Universal Differential Equations reference (arXiv:2001.04385): adaptive
+ODE/SDE/DAE solvers with neural-network right-hand sides, forward and
+continuous-adjoint sensitivity, SINDy sparse regression, method-of-lines
+universal PDEs, deep-BSDE solvers, and sharded trajectory ensembles.
+See SURVEY.md for the capability map (C1-C29).
+"""
+
+from .api import solve
+from .core.problem import DAEProblem, ODEProblem, SDEProblem, remake
+from .core.solution import DenseInterpolation, Solution
+from .core.controller import PIController
+from .solvers.runge_kutta import Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
+from .adjoint.sensitivity import (
+    BacksolveAdjoint,
+    DiscreteAdjoint,
+    ForwardSensitivity,
+    InterpolatingAdjoint,
+    NoAdjoint,
+)
+
+__version__ = "0.1.0"
+__all__ = [
+    "solve", "remake",
+    "ODEProblem", "SDEProblem", "DAEProblem",
+    "Solution", "DenseInterpolation", "PIController",
+    "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun",
+    "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
+    "InterpolatingAdjoint", "BacksolveAdjoint",
+]

@@ -1,0 +1,8 @@
+from .sensitivity import (
+    AbstractAdjoint,
+    BacksolveAdjoint,
+    DiscreteAdjoint,
+    ForwardSensitivity,
+    InterpolatingAdjoint,
+    NoAdjoint,
+)

@@ -1,0 +1,258 @@
+"""Sensitivity algorithms: differentiating through ``solve`` (SURVEY.md L3).
+
+TPU-native equivalents of the reference's ``sensealg`` choices:
+
+* ``DiscreteAdjoint`` — plain reverse/forward AD through the bounded-scan
+  stepper; the analogue of Tracker's ``diffeq_rd`` discrete adjoint
+  (``NonNewtonianFluids/FENEP.jl:56``, SURVEY.md C10).  Also the forward-mode
+  path: ``jax.jacfwd``/``jax.jvp`` flow straight through it, covering
+  ``ForwardDiffSensitivity`` (``scenario_1.jl:86``, C7).
+* ``InterpolatingAdjoint`` — continuous adjoint with the forward pass run as a
+  fast ``while_loop`` retaining dense output; the backward pass integrates
+  ``λ' = -(∂f/∂u)ᵀλ, μ' = -(∂f/∂p)ᵀλ`` between save points, reading ``u(t)``
+  from the interpolant and computing vector-Jacobian products with ``jax.vjp``
+  — the analogue of ``InterpolatingAdjoint(autojacvec=ReverseDiffVJP())``
+  (``SEIR_exposure/seir_exposure.jl:71``, C8).  Because every accepted step is
+  stored, this is simultaneously the ``quad=false, backsolve=false``
+  checkpointed scheme of ``Climate/NeuralPDE/npde_data.jl:82`` (C9).
+* ``BacksolveAdjoint`` — classic neural-ODE backsolve re-integrating the state
+  backwards, with stability resets to the stored forward state at each save
+  point.
+* ``NoAdjoint`` — forward-only while-loop solve (truth generation at tight
+  tolerances, ``scenario_1.jl:41``).
+
+``solve`` (in ``api.py``) dispatches on these, mirroring ``concrete_solve``'s
+sensealg dispatch (``seir_exposure.jl:66``, C11).
+
+Constraint: under the continuous adjoints, ``args`` must be a pytree of
+floating-point arrays (static configuration belongs in the RHS closure).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from ..core.controller import PIController
+from ..core.integrate import IntegrateResult, integrate_scan, integrate_while
+from ..core.solution import DenseInterpolation
+
+__all__ = [
+    "AbstractAdjoint",
+    "NoAdjoint",
+    "DiscreteAdjoint",
+    "ForwardSensitivity",
+    "InterpolatingAdjoint",
+    "BacksolveAdjoint",
+]
+
+
+class AbstractAdjoint:
+    default_max_steps: int = 4096
+
+    def run(self, f, y0, t0, t1, args, ts_save, solver, controller, rtol, atol,
+            dt0, max_steps, tstops=None):
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class NoAdjoint(AbstractAdjoint):
+    """Forward-only while-loop solve. Fastest; gradients unavailable."""
+
+    default_max_steps: int = 4096
+
+    def run(self, f, y0, t0, t1, args, ts_save, solver, controller, rtol, atol,
+            dt0, max_steps, tstops=None):
+        res = integrate_while(
+            f, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, controller,
+            tstops,
+        )
+        ys = res.dense.evaluate(ts_save)
+        return ys, res
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscreteAdjoint(AbstractAdjoint):
+    """Reverse/forward AD straight through the bounded-scan stepper (C10/C7).
+
+    ``checkpoint=True`` remats each step, keeping reverse-mode memory at one
+    carry per step instead of all RK stages.
+    """
+
+    checkpoint: bool = True
+    default_max_steps: int = 512
+
+    def run(self, f, y0, t0, t1, args, ts_save, solver, controller, rtol, atol,
+            dt0, max_steps, tstops=None):
+        res = integrate_scan(
+            f, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, controller,
+            checkpoint=self.checkpoint, tstops=tstops,
+        )
+        ys = res.dense.evaluate(ts_save)
+        return ys, res
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardSensitivity(DiscreteAdjoint):
+    """Forward-mode sensitivity (``ForwardDiffSensitivity``, C7).
+
+    Identical machinery to ``DiscreteAdjoint`` without per-step remat (remat
+    buys nothing in forward mode); use with ``jax.jacfwd``/``jax.jvp``.
+    """
+
+    checkpoint: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class _ContinuousAdjoint(AbstractAdjoint):
+    rtol: Optional[float] = None  # backward-pass tolerances; None = forward's
+    atol: Optional[float] = None
+    segment_max_steps: int = 1024
+    default_max_steps: int = 4096
+
+    kind = "interp"
+
+    def run(self, f, y0, t0, t1, args, ts_save, solver, controller, rtol, atol,
+            dt0, max_steps, tstops=None):
+        out = _cont_solve(
+            f, solver, controller, rtol, atol, dt0, max_steps, self,
+            y0, t0, t1, args, ts_save, tstops,
+        )
+        (ys, y_final, buf_t, buf_y, buf_f, num_points, direction, t_final,
+         success, n_acc, n_rej, nfe) = out
+        dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction)
+        res = IntegrateResult(dense, t_final, y_final, success, n_acc, n_rej, nfe)
+        return ys, res
+
+
+@dataclasses.dataclass(frozen=True)
+class InterpolatingAdjoint(_ContinuousAdjoint):
+    kind = "interp"
+
+
+@dataclasses.dataclass(frozen=True)
+class BacksolveAdjoint(_ContinuousAdjoint):
+    kind = "backsolve"
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core shared by the continuous adjoints
+# ---------------------------------------------------------------------------
+
+
+def _primal(f, solver, controller, rtol, atol, dt0, max_steps, y0, t0, t1,
+            args, ts_save, tstops):
+    res = integrate_while(
+        f, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps,
+        PIController() if controller is None else controller, tstops,
+    )
+    ys = res.dense.evaluate(ts_save)
+    d = res.dense
+    return (ys, res.y_final, d.ts, d.ys, d.fs, d.num_points, d.direction,
+            res.t_final, res.success, res.n_acc, res.n_rej, res.nfe)
+
+
+def _cont_solve_impl(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
+                     y0, t0, t1, args, ts_save, tstops):
+    return _primal(f, solver, controller, rtol, atol, dt0, max_steps,
+                   y0, t0, t1, args, ts_save, tstops)
+
+
+# nondiff: f, solver, controller, rtol, atol, dt0, max_steps, cfg
+_cont_solve = jax.custom_vjp(_cont_solve_impl, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+
+
+def _cont_fwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
+              y0, t0, t1, args, ts_save, tstops):
+    out = _primal(f, solver, controller, rtol, atol, dt0, max_steps,
+                  y0, t0, t1, args, ts_save, tstops)
+    (ys, y_final, buf_t, buf_y, buf_f, num_points, direction, *_rest) = out
+    residuals = (buf_t, buf_y, buf_f, num_points, direction, ys,
+                 y0, t0, t1, args, ts_save, tstops)
+    return out, residuals
+
+
+def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
+              residuals, cts):
+    (buf_t, buf_y, buf_f, num_points, direction, ys_save,
+     y0, t0, t1, args, ts_save, tstops) = residuals
+    g_ys, g_yfin = cts[0], cts[1]  # remaining outputs are non-differentiable
+
+    dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction)
+    dim = y0.shape[0]
+    mu0_tree = jax.tree.map(jnp.zeros_like, args)
+    mu0_flat, unravel_mu = ravel_pytree(mu0_tree)
+    n_p = mu0_flat.shape[0]
+    a_rtol = rtol if cfg.rtol is None else cfg.rtol
+    a_atol = atol if cfg.atol is None else cfg.atol
+    ctrl = PIController() if controller is None else controller
+
+    if cfg.kind == "interp":
+
+        def adj_rhs(t, z, _):
+            lam = z[:dim]
+            u = dense.evaluate(t)
+            _, vjp_fn = jax.vjp(lambda yy, aa: f(t, yy, aa), u, args)
+            y_bar, a_bar = vjp_fn(lam)
+            return -jnp.concatenate([y_bar, ravel_pytree(a_bar)[0]])
+
+        z_init = jnp.concatenate([g_yfin, mu0_flat])
+
+        def at_boundary(z, i):
+            return z.at[:dim].add(g_ys[i])
+
+    else:  # backsolve: re-integrate the state backwards alongside the adjoint
+
+        def adj_rhs(t, z, _):
+            y = z[:dim]
+            lam = z[dim : 2 * dim]
+            fval, vjp_fn = jax.vjp(lambda yy, aa: f(t, yy, aa), y, args)
+            y_bar, a_bar = vjp_fn(lam)
+            return jnp.concatenate([fval, -y_bar, -ravel_pytree(a_bar)[0]])
+
+        y_final = buf_y[jnp.clip(num_points - 1, 0, buf_y.shape[0] - 1)]
+        z_init = jnp.concatenate([y_final, g_yfin, mu0_flat])
+
+        def at_boundary(z, i):
+            # reset the backsolved state to the stored forward value for
+            # stability, and apply the loss jump to λ
+            z = z.at[:dim].set(ys_save[i])
+            return z.at[dim : 2 * dim].add(g_ys[i])
+
+    n_seg = ts_save.shape[0]
+
+    def segment(carry, i):
+        z, t_hi = carry
+        t_lo = ts_save[i]
+        res = integrate_while(
+            adj_rhs, z, t_hi, t_lo, None, solver, a_rtol, a_atol, None,
+            cfg.segment_max_steps, ctrl,
+        )
+        z = at_boundary(res.y_final, i)
+        return (z, t_lo), res.success
+
+    (z, t_hi), seg_ok = jax.lax.scan(
+        segment, (z_init, t1), jnp.arange(n_seg - 1, -1, -1)
+    )
+    res = integrate_while(
+        adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
+        cfg.segment_max_steps, ctrl,
+    )
+    z = res.y_final
+
+    if cfg.kind == "interp":
+        y0_bar = z[:dim]
+        mu = z[dim:]
+    else:
+        y0_bar = z[dim : 2 * dim]
+        mu = z[2 * dim :]
+    args_bar = unravel_mu(mu)
+    zero = lambda x: jnp.zeros_like(jnp.asarray(x))
+    return (y0_bar, zero(t0), zero(t1), args_bar, jnp.zeros_like(ts_save),
+            jax.tree.map(jnp.zeros_like, tstops))
+
+
+_cont_solve.defvjp(_cont_fwd, _cont_bwd)

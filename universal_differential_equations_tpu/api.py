@@ -1,0 +1,116 @@
+"""``solve`` — the single AD-dispatching front-end (SURVEY.md C11).
+
+The analogue of the reference's ``solve``/``concrete_solve``
+(``LotkaVolterra/scenario_1.jl:40-41``, ``SEIR_exposure/seir_exposure.jl:66``):
+one entry point that takes a problem, a solver, tolerances, a ``saveat`` grid
+and a sensitivity algorithm, and returns a ``Solution`` whose save-grid values
+are differentiable according to the chosen adjoint.
+
+States may be arbitrary pytrees; they are raveled to flat vectors internally
+(the TPU layout for dense-output buffers) and unraveled on output.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from .adjoint.sensitivity import AbstractAdjoint, InterpolatingAdjoint
+from .core.controller import PIController
+from .core.problem import DAEProblem, ODEProblem, SDEProblem
+from .core.solution import Solution
+from .solvers.runge_kutta import Tsit5
+
+__all__ = ["solve"]
+
+
+def solve(
+    problem,
+    solver=None,
+    *,
+    saveat=None,
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    dt0: Optional[float] = None,
+    max_steps: Optional[int] = None,
+    adjoint: Optional[AbstractAdjoint] = None,
+    dense: bool = False,
+    controller: Optional[PIController] = None,
+    step_to_saveat: bool = False,
+):
+    """Solve an initial value problem on device.
+
+    Args:
+      problem: ``ODEProblem`` (``SDEProblem``/``DAEProblem`` dispatch to their
+        dedicated drivers in ``solvers/``).
+      solver: step method; defaults to ``Tsit5()``.
+      saveat: 1-D array of output times within ``tspan`` (ascending for
+        forward solves).  ``None`` saves the two endpoints.  Values off the
+        step grid are filled by dense-output interpolation (C1).
+      rtol / atol: PI-controller tolerances (reference's ``reltol``/``abstol``).
+      dt0: initial step; ``None`` uses Hairer's automatic selection.
+      max_steps: step budget (static).  Defaults to the adjoint's preference —
+        4096 for while-loop paths, 512 for the bounded-scan discrete adjoint.
+      adjoint: sensitivity algorithm (``sensealg``); defaults to
+        ``InterpolatingAdjoint()``.
+      dense: attach continuous output so ``sol(t)`` / ``sol(t, nu=1)`` work
+        (C2).  Dense evaluations are not differentiated under the continuous
+        adjoints — differentiate the ``saveat`` values instead.
+      controller: step-size controller.
+      step_to_saveat: force accepted steps to land exactly on the ``saveat``
+        points (tstops-style), so saved values carry full solver-order
+        accuracy instead of 4th-order interpolation accuracy — used for
+        truth generation at 1e-12 tolerances (C27).
+
+    Returns:
+      ``Solution`` with ``ts``/``ys`` on the save grid.
+    """
+    if isinstance(problem, SDEProblem):
+        raise TypeError("use universal_differential_equations_tpu.solvers.sde.sdeint for SDEProblem")
+    if isinstance(problem, DAEProblem):
+        raise TypeError("use universal_differential_equations_tpu.solvers.bdf.daeint for DAEProblem")
+    if not isinstance(problem, ODEProblem):
+        raise TypeError(f"unsupported problem type {type(problem)}")
+
+    solver = Tsit5() if solver is None else solver
+    adjoint = InterpolatingAdjoint() if adjoint is None else adjoint
+    controller = PIController() if controller is None else controller
+    if max_steps is None:
+        max_steps = adjoint.default_max_steps
+
+    t0, t1 = problem.tspan
+    y0_flat, unravel = ravel_pytree(problem.u0)
+    dtype = y0_flat.dtype
+    user_f = problem.f
+
+    def f_flat(t, y, args):
+        du = user_f(t, unravel(y), args)
+        return ravel_pytree(du)[0]
+
+    if saveat is None:
+        ts = jnp.asarray([t0, t1], dtype)
+    else:
+        ts = jnp.asarray(saveat, dtype)
+        if ts.ndim != 1:
+            raise ValueError("saveat must be a 1-D array of times")
+
+    tstops = ts if step_to_saveat else None
+    ys_flat, res = adjoint.run(
+        f_flat, y0_flat, t0, t1, problem.args, ts, solver, controller,
+        rtol, atol, dt0, max_steps, tstops,
+    )
+    ys = jax.vmap(unravel)(ys_flat)
+    return Solution(
+        ts=ts,
+        ys=ys,
+        t_final=res.t_final,
+        y_final=unravel(res.y_final),
+        success=res.success,
+        num_accepted=res.n_acc,
+        num_rejected=res.n_rej,
+        num_rhs_evals=res.nfe,
+        dense=res.dense if dense else None,
+        _unravel=unravel,
+    )

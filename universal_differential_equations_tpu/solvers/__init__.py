@@ -1,0 +1,2 @@
+from .runge_kutta import AbstractERK, Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
+from .tableaus import ButcherTableau, TABLEAUS
