@@ -13,6 +13,7 @@ from .core.problem import DAEProblem, ODEProblem, SDEProblem, remake
 from .core.solution import DenseInterpolation, Solution
 from .core.controller import PIController
 from .solvers.runge_kutta import Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
+from .solvers.rkc import RKC1, RKC2
 from .adjoint.sensitivity import (
     BacksolveAdjoint,
     DiscreteAdjoint,
@@ -26,7 +27,7 @@ __all__ = [
     "solve", "remake",
     "ODEProblem", "SDEProblem", "DAEProblem",
     "Solution", "DenseInterpolation", "PIController",
-    "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun",
+    "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun", "RKC1", "RKC2",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
     "InterpolatingAdjoint", "BacksolveAdjoint",
 ]

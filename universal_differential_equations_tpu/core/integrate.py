@@ -54,13 +54,17 @@ class IntegrateResult(NamedTuple):
 
 def _setup(f, y0, t0, t1, args, solver, rtol, atol, dt0):
     y0 = jnp.asarray(y0)
-    dtype = y0.dtype
+    # Probe the RHS dtype: mixed-precision problems (e.g. f32 state with f64
+    # parameters) integrate in the promoted dtype so the loop carry is stable.
+    f_probe = f(jnp.asarray(t0, y0.dtype), y0, args)
+    dtype = jnp.result_type(y0.dtype, jnp.asarray(f_probe).dtype)
+    y0 = y0.astype(dtype)
     t0 = jnp.asarray(t0, dtype)
     t1 = jnp.asarray(t1, dtype)
     direction = jnp.where(t1 >= t0, jnp.ones((), dtype), -jnp.ones((), dtype))
 
     def f_int(tau, y, a):
-        return direction * f(direction * tau, y, a)
+        return (direction * f(direction * tau, y, a)).astype(dtype)
 
     tau0 = direction * t0
     tau1 = direction * t1
@@ -97,6 +101,11 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     exactly on those points — the high-accuracy ``saveat`` mode matching the
     reference's solver-order interpolants (C1) without a host round-trip.
     """
+    dt_stab = getattr(solver, "dt_stab", None)
+    if dt_stab is not None:
+        # stabilized explicit solvers (RKC/ROCK family) cap dt at their
+        # stability interval (C3)
+        state = state._replace(dt=jnp.minimum(state.dt, jnp.asarray(dt_stab, dtype)))
     if tstops is None:
         next_stop = tau1
     else:

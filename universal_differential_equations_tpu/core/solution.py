@@ -58,6 +58,14 @@ class DenseInterpolation:
 
     def _hermite(self, t, derivative: bool):
         t = t * self.direction
+        # Clamp to the covered range: a failed/truncated solve (divergence,
+        # step-budget exhaustion) holds its last valid state instead of
+        # extrapolating the local cubic to astronomical values — the analogue
+        # of the reference's truncated solution arrays on failure, and what
+        # keeps ensemble fault-masking losses finite (SURVEY.md §5).
+        cap = self.ts.shape[0]
+        last = self.ts[jnp.clip(self.num_points - 1, 0, cap - 1)]
+        t = jnp.clip(t, self.ts[0], last)
         i = self._interval(t)
         t0, t1 = self.ts[i], self.ts[i + 1]
         y0, y1 = self.ys[i], self.ys[i + 1]

@@ -1,0 +1,1 @@
+from .runner import EnsembleResult, ensemble_run, noise_schedule

@@ -1,0 +1,1 @@
+from .checkpoint import BestCheckpoint, KeyedArchive, load_pytree, save_pytree

@@ -1,0 +1,102 @@
+"""Lotka-Volterra UDE model family (reference ``LotkaVolterra/`` case studies).
+
+The flagship pipeline (SURVEY.md §7 M1 / BASELINE north star): generate LV
+truth at tight tolerance, corrupt with mean-proportional noise, train a UDE
+whose MLP learns the missing interaction terms, recover their closed form
+with SINDy, and extrapolate (``scenario_1.jl`` end-to-end).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..api import solve
+from ..adjoint.sensitivity import NoAdjoint
+from ..core.problem import ODEProblem
+from ..nn.layers import MLP
+from ..solvers.runge_kutta import Vern7
+
+__all__ = [
+    "lotka_rhs",
+    "generate_data",
+    "make_ude",
+    "make_recovered_rhs",
+    "P_TRUE",
+    "U0",
+]
+
+# reference parameters and initial condition (``scenario_1.jl:37-39``)
+P_TRUE = jnp.array([1.3, 0.9, 0.8, 1.8])
+U0 = jnp.array([0.44249296, 4.6280594])
+
+
+def lotka_rhs(t, u, p):
+    """du1 = α u1 - β u1 u2 ; du2 = γ u1 u2 - δ u2 (``scenario_1.jl:30-35``)."""
+    x, y = u[0], u[1]
+    alpha, beta, gamma, delta = p[0], p[1], p[2], p[3]
+    return jnp.array([alpha * x - beta * x * y, gamma * x * y - delta * y])
+
+
+def generate_data(
+    key,
+    tspan: Tuple[float, float] = (0.0, 3.0),
+    dt_save: float = 0.1,
+    noise_magnitude: float = 5e-3,
+    u0=U0,
+    p=P_TRUE,
+    rtol: float = 1e-12,
+    atol: float = 1e-12,
+):
+    """Truth at Vern7/1e-12 on a 0.1-grid over the reference's (0, 3)
+    training window plus mean-proportional noise (``scenario_1.jl:36-53``).
+    Returns (ts, X_clean, X_noisy)."""
+    fdtype = jnp.result_type(float)  # honors jax_enable_x64 at call time
+    ts = jnp.arange(tspan[0], tspan[1] + dt_save / 2, dt_save, dtype=fdtype)
+    prob = ODEProblem(lotka_rhs, jnp.asarray(u0, fdtype), tspan,
+                      jnp.asarray(p, fdtype))
+    sol = solve(prob, Vern7(), saveat=ts, rtol=rtol, atol=atol,
+                adjoint=NoAdjoint(), step_to_saveat=True)
+    X = sol.ys
+    x_mean = jnp.mean(X, axis=0)
+    noise = noise_magnitude * x_mean * jax.random.normal(key, X.shape, X.dtype)
+    return ts, X, X + noise
+
+
+def make_ude(key, hidden: int = 5, depth: int = 3, activation="rbf",
+             p_known=P_TRUE, dtype=None):
+    """Scenario-1 hybrid model: known linear physics + MLP interactions.
+
+    ``du1 = α u1 + NN1(u)``, ``du2 = -δ u2 + NN2(u)`` with the 2→5→5→5→2
+    Gaussian-RBF net (``scenario_1.jl:59-73``).  Returns ``(rhs, params0, net)``
+    with ``params`` the bare NN pytree.
+    """
+    sizes = [2] + [hidden] * depth + [2]
+    net = MLP(sizes, activation=activation)
+    if dtype is None:
+        dtype = jnp.zeros(()).dtype  # follow jax_enable_x64
+    params0 = net.init(key, dtype)
+    alpha = float(p_known[0])
+    delta = float(p_known[3])
+
+    def rhs(t, u, params):
+        nn = net.apply(params, u)
+        return jnp.array([alpha * u[0] + nn[0], -delta * u[1] + nn[1]])
+
+    return rhs, params0, net
+
+
+def make_recovered_rhs(sindy_result, p_known=P_TRUE):
+    """Hybrid RHS with the SINDy-recovered interactions in place of the NN
+    (``scenario_1.jl:183-191``): parameters are the active SINDy coefficients,
+    refittable by gradient descent (C21)."""
+    interaction = sindy_result.rhs()
+    alpha = float(p_known[0])
+    delta = float(p_known[3])
+
+    def rhs(t, u, p):
+        term = interaction(t, u, p)
+        return jnp.array([alpha * u[0] + term[0], -delta * u[1] + term[1]])
+
+    return rhs

@@ -1,0 +1,328 @@
+"""SINDy solve front-end: problems, model selection, recovered models.
+
+Mirrors the reference's sparse-recovery pipeline (SURVEY.md §3.4, C19/C21):
+
+* ``DirectDataDrivenProblem(X, Y)`` — fit Y = Ξ·Θ(X) (``scenario_1.jl:166``),
+* ``ContinuousDataDrivenProblem(X, t[, DX][, kernel])`` — derivative targets,
+  estimated by kernel collocation from noisy data when not given
+  (``hudson_bay.jl:48``, C20),
+* ``sindy(problem, basis, optimizer)`` with ``denoise`` (optimal SVHT),
+  ``normalize``, cross-validation ``sampler`` batches, and model selection by
+  AICc or a custom objective g(k, rss, N) (``scenario_2.jl:199``),
+* ``SINDyResult`` — printable equations, ``parameters()``/``parameter_map()``
+  and a jit-compiled recovered RHS for re-simulation, extrapolation, and
+  gradient refit of the recovered parameters (``scenario_1.jl:183-207``,
+  ``hudson_bay.jl:197-210``).
+
+The whole λ-grid × target × CV-fold sweep is a single jitted/vmapped XLA
+program; only the final argmin selection returns to the host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basis import Basis
+from .collocation import collocate_data
+from .optimizers import STLSQ, masked_lstsq
+
+__all__ = [
+    "DirectDataDrivenProblem",
+    "ContinuousDataDrivenProblem",
+    "DataSampler",
+    "sindy",
+    "SINDyResult",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectDataDrivenProblem:
+    """Fit targets Y directly against Θ(X) (``scenario_1.jl:166-167``)."""
+
+    X: jnp.ndarray  # (N, n)
+    Y: jnp.ndarray  # (N, d)
+
+
+@dataclasses.dataclass(frozen=True)
+class ContinuousDataDrivenProblem:
+    """Fit estimated derivatives DX against Θ(X).
+
+    When ``DX`` is None, both the smoothed states and their derivatives are
+    estimated by kernel collocation (``hudson_bay.jl:48``, C20).
+    """
+
+    X: jnp.ndarray
+    t: jnp.ndarray
+    DX: Optional[jnp.ndarray] = None
+    kernel: str = "gaussian"
+    bandwidth: Optional[float] = None
+
+    def realize(self):
+        if self.DX is not None:
+            return self.X, self.DX
+        Xs, DX = collocate_data(self.X, self.t, kernel=self.kernel,
+                                bandwidth=self.bandwidth)
+        return Xs, DX
+
+
+@dataclasses.dataclass(frozen=True)
+class DataSampler:
+    """Cross-validation batching for model selection
+    (``sampler=DataSampler(Batcher(n=4,shuffle=true))``, ``scenario_1.jl:172``)."""
+
+    n: int = 4
+    shuffle: bool = True
+    seed: int = 0
+
+    def masks(self, N):
+        idx = np.arange(N)
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(idx)
+        masks = np.zeros((self.n, N), dtype=np.float64)
+        for b, chunk in enumerate(np.array_split(idx, self.n)):
+            masks[b, chunk] = 1.0
+        return masks  # 1 = held-out rows of fold b
+
+
+def _svht_denoise(X):
+    """Optimal singular-value hard threshold (Gavish & Donoho 2014) —
+    the reference's ``denoise=true`` option, applied to the candidate matrix
+    Θ (whose singular spectrum has enough bulk for the median rule)."""
+    X = np.asarray(X)
+    N, n = X.shape
+    U, s, Vt = np.linalg.svd(X, full_matrices=False)
+    beta = min(N, n) / max(N, n)
+    omega = 0.56 * beta**3 - 0.95 * beta**2 + 1.82 * beta + 1.43
+    tau = omega * np.median(s)
+    s_thr = np.where(s >= tau, s, 0.0)
+    return jnp.asarray(U @ np.diag(s_thr) @ Vt)
+
+
+def _aicc(k, rss, N):
+    k = jnp.asarray(k, jnp.float64 if rss.dtype == jnp.float64 else jnp.float32)
+    rss = jnp.maximum(rss, 1e-30)
+    aic = N * jnp.log(rss / N) + 2.0 * k
+    corr = 2.0 * k * (k + 1.0) / jnp.maximum(N - k - 1.0, 1.0)
+    return aic + corr
+
+
+def sindy(
+    problem,
+    basis: Basis,
+    optimizer=None,
+    *,
+    normalize: bool = False,
+    denoise: bool = False,
+    sampler: Optional[DataSampler] = None,
+    selection: Union[str, Callable] = "aicc",
+    cv_tolerance: float = 3.0,
+    precision: str = "auto",
+) -> "SINDyResult":
+    """Sparse recovery: returns the best model per target equation across the
+    optimizer's threshold grid.
+
+    ``precision="auto"`` runs the (tiny) normal-equation sweep in float64 on
+    the host CPU when the session is float32: polynomial libraries on
+    trajectories reach cond(Θ) ~ 1e7+, and the gram squares it — f32 on TPU
+    visibly corrupts recovered structures.  The feature-matrix construction
+    stays on the accelerator; only the m×m solves are re-run in f64.
+    "device" forces the session-dtype on-device sweep.
+    """
+    optimizer = STLSQ() if optimizer is None else optimizer
+    if isinstance(problem, ContinuousDataDrivenProblem):
+        X, Y = problem.realize()
+    else:
+        X, Y = problem.X, problem.Y
+    X = jnp.asarray(X)
+    Y = jnp.asarray(Y)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    N = X.shape[0]
+    d = Y.shape[1]
+
+    theta_raw = basis.theta(X)  # (N, m)
+    if denoise:
+        theta_raw = _svht_denoise(theta_raw)
+    m = theta_raw.shape[1]
+    if normalize:
+        # Solve in the column-normalized frame: conditioning improves by many
+        # orders on polynomial libraries, and thresholds compare
+        # scale-free coefficients (the reference's ``normalize`` option).
+        scale = jnp.linalg.norm(theta_raw, axis=0) / jnp.sqrt(N)
+        scale = jnp.where(scale > 0, scale, 1.0)
+    else:
+        scale = jnp.ones((m,), theta_raw.dtype)
+    theta = theta_raw / scale
+
+    if selection == "aicc":
+        score_fn = _aicc
+    elif callable(selection):
+        score_fn = selection
+    else:
+        raise ValueError(f"unknown selection {selection!r}")
+
+    data_dtype = theta.dtype
+
+    @jax.jit
+    def sweep(theta, Y):
+        gram = theta.T @ theta
+        corrs = theta.T @ Y  # (m, d)
+
+        def per_target(corr, y):
+            xi, active = optimizer.fit_grid(gram, corr)  # (L, m)
+            resid = theta @ xi.T - y[:, None]  # (N, L)
+            ks = active.sum(axis=1)
+            rss = jnp.sum(resid**2, axis=0)  # (L,)
+            # Relative floor: on exactly-representable targets every candidate
+            # hits rounding-level rss and log-likelihood differences are pure
+            # noise — flooring ties them so the sparsity penalty decides.
+            # The rounding level follows the *source* feature dtype (an f32
+            # TPU theta carries ~6e-8 relative noise even when the sweep
+            # itself runs in f64).
+            eps_src = jnp.finfo(data_dtype).eps
+            floor = jnp.maximum((50.0 * eps_src) ** 2, 1e-20) * jnp.sum(y**2) + 1e-300
+            if sampler is None:
+                scores = score_fn(ks, jnp.maximum(rss, floor), N)
+                best = jnp.argmin(scores)
+            else:
+                w = jnp.asarray(sampler.masks(N), theta.dtype)  # (B, N)
+
+                def fold(wb):
+                    keep = 1.0 - wb  # train rows
+                    gram_b = theta.T @ (theta * keep[:, None])
+                    corr_b = theta.T @ (y * keep)
+                    xi_b, act_b = optimizer.fit_grid(gram_b, corr_b)
+                    res_b = (theta @ xi_b.T - y[:, None]) * wb[:, None]
+                    return jnp.sum(res_b**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
+
+                cv = jax.vmap(fold)(w)  # (B, L)
+                cv_mean = cv.mean(axis=0)
+                # Parsimony rule: the sparsest model whose CV error is within
+                # ``cv_tolerance``× of the best.  Removing a *needed* term
+                # inflates held-out error by orders of magnitude; spurious
+                # terms buy only O(1) factors — so a generous factor selects
+                # the true support robustly (the role of the reference's
+                # Batcher sampler, ``scenario_1.jl:172``).
+                big = jnp.asarray(jnp.inf, cv_mean.dtype)
+                cv_mean = jnp.maximum(cv_mean, floor / N)
+                cutoff = cv_tolerance * jnp.min(cv_mean)
+                ok = cv_mean <= cutoff
+                k_min = jnp.min(jnp.where(ok, ks, jnp.iinfo(jnp.int32).max))
+                cand = ok & (ks == k_min)
+                best = jnp.argmin(jnp.where(cand, cv_mean, big))
+                scores = cv_mean
+            return xi[best], active[best], rss[best], ks[best], scores[best], best
+
+        return jax.vmap(per_target, in_axes=(1, 1))(corrs, Y)
+
+    if precision == "auto" and theta.dtype == jnp.float32:
+        host = jax.devices("cpu")[0]
+        with jax.enable_x64(True), jax.default_device(host):
+            theta64 = jnp.asarray(np.asarray(theta), jnp.float64)
+            Y64 = jnp.asarray(np.asarray(Y), jnp.float64)
+            out = sweep(theta64, Y64)
+            out = [np.asarray(v) for v in out]
+    else:
+        out = [np.asarray(v) for v in sweep(theta, Y)]
+    xi, active, rss, ks, scores, best_idx = out
+    # prune numerically-zero survivors (representable targets leave
+    # O(eps)-coefficient artifacts on collinear features)
+    tiny = np.maximum(1e-8, 100.0 * float(jnp.finfo(data_dtype).eps)) * np.max(
+        np.abs(xi), axis=1, keepdims=True
+    )
+    active = active & (np.abs(xi) > tiny)
+    xi = np.where(active, xi, 0.0)
+    ks = active.sum(axis=1)
+    xi = xi / np.asarray(scale)[None, :]  # back to the raw-feature frame
+    thresholds = np.asarray(optimizer.thresholds)
+    return SINDyResult(
+        basis=basis,
+        coefficients=np.asarray(xi).T,  # (m, d)
+        active=np.asarray(active).T.astype(bool),  # (m, d)
+        l2_error=np.sqrt(np.asarray(rss)),
+        sparsity=np.asarray(ks),
+        aicc=np.asarray(_aicc(jnp.asarray(ks), jnp.asarray(rss), N)),
+        scores=np.asarray(scores),
+        chosen_thresholds=thresholds[np.asarray(best_idx)],
+    )
+
+
+@dataclasses.dataclass
+class SINDyResult:
+    """Recovered sparse model (the reference's printable, callable result —
+    ``scenario_1.jl:176-190``; metrics API of ``loop_evaluation.jl:54-56``)."""
+
+    basis: Basis
+    coefficients: np.ndarray  # (m, d)
+    active: np.ndarray  # (m, d) bool
+    l2_error: np.ndarray  # (d,)
+    sparsity: np.ndarray  # (d,)
+    aicc: np.ndarray  # (d,)
+    scores: np.ndarray  # (d,)
+    chosen_thresholds: np.ndarray  # (d,)
+
+    # -- inspection ---------------------------------------------------------
+    def equations(self, lhs: str = "du", digits: int = 4):
+        names = self.basis.names
+        eqs = []
+        for eq in range(self.coefficients.shape[1]):
+            parts = []
+            for j in range(self.coefficients.shape[0]):
+                if self.active[j, eq]:
+                    coef = self.coefficients[j, eq]
+                    term = f"{coef:+.{digits}g}"
+                    if names[j] != "1":
+                        term += f"*{names[j]}"
+                    parts.append(term)
+            rhs_str = " ".join(parts) if parts else "0"
+            eqs.append(f"{lhs}{eq+1}/dt = {rhs_str}")
+        return eqs
+
+    def __repr__(self):
+        return "SINDyResult(\n  " + "\n  ".join(self.equations()) + "\n)"
+
+    def parameters(self) -> np.ndarray:
+        """Active coefficient values, equation-major (reference
+        ``parameters(res)``)."""
+        vals = []
+        for eq in range(self.coefficients.shape[1]):
+            vals.extend(self.coefficients[self.active[:, eq], eq])
+        return np.asarray(vals)
+
+    def parameter_map(self):
+        names = self.basis.names
+        out = []
+        for eq in range(self.coefficients.shape[1]):
+            for j in range(self.coefficients.shape[0]):
+                if self.active[j, eq]:
+                    out.append((f"eq{eq+1}:{names[j]}", float(self.coefficients[j, eq])))
+        return out
+
+    # -- executable model (C21) --------------------------------------------
+    def _scatter_indices(self):
+        # equation-major, matching parameters() ordering
+        cols, rows = np.nonzero(self.active.T)
+        return rows, cols
+
+    def rhs(self):
+        """Jitted ODE right-hand side ``f(t, u, p)`` with ``p`` the active
+        coefficient vector — recovered equations → executable ODE
+        (``scenario_1.jl:183-191``, ``modelingtoolkitize`` analogue)."""
+        rows, cols = self._scatter_indices()
+        m, d = self.coefficients.shape
+        basis = self.basis
+
+        def f(t, u, p):
+            C = jnp.zeros((m, d), dtype=u.dtype).at[rows, cols].set(p)
+            return basis.theta(u) @ C
+
+        return f
+
+    def __call__(self, u, p=None, t=None):
+        if p is None:
+            p = jnp.asarray(self.parameters())
+        return self.rhs()(t, jnp.asarray(u), jnp.asarray(p))

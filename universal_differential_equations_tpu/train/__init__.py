@@ -1,0 +1,3 @@
+from .bfgs import BFGSResult, bfgs_minimize
+from .fit import FitResult, fit, fit_bfgs, reduce_on_plateau
+from .shooting import multiple_shoot, shooting_windows

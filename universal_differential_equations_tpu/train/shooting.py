@@ -1,0 +1,99 @@
+"""Multiple shooting for long-horizon UDE training (SURVEY.md C18).
+
+The reference uses library ``multiple_shoot(p, ode_data, tsteps, prob, loss,
+continuity_term; group_size)`` (``hudson_bay.jl:107-117``) and a hand-rolled
+per-segment loss (``scenario_2.jl:113-124``).  TPU-native design: every
+segment is initialized at its data point and solved *concurrently* under one
+``vmap`` — the natural TPU win called out in SURVEY.md §2.4 (segments are the
+"sequence parallelism" axis of this domain) — with a continuity penalty tying
+each segment's end to the next segment's start.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..adjoint.sensitivity import DiscreteAdjoint
+from ..api import solve
+from ..core.problem import ODEProblem, remake
+
+__all__ = ["multiple_shoot", "shooting_windows"]
+
+
+def shooting_windows(num_points: int, group_size: int):
+    """Segment index windows with one-point overlap (DiffEqFlux semantics):
+    starts at 0, g-1, 2(g-1), …; a ragged tail is clamped to the last index
+    and masked out of the loss."""
+    stride = group_size - 1
+    n_seg = max(1, -(-(num_points - 1) // stride))
+    starts = jnp.arange(n_seg) * stride
+    offs = jnp.arange(group_size)
+    idx = starts[:, None] + offs[None, :]
+    mask = idx <= (num_points - 1)
+    idx = jnp.clip(idx, 0, num_points - 1)
+    return idx, mask.astype(jnp.float32)
+
+
+def multiple_shoot(
+    params,
+    data,
+    ts,
+    rhs: Callable,
+    *,
+    group_size: int = 5,
+    continuity_term: float = 100.0,
+    solver=None,
+    rtol: float = 1e-6,
+    atol: float = 1e-6,
+    adjoint=None,
+    max_steps: int = 256,
+    loss_fn: Optional[Callable] = None,
+):
+    """Segmented trajectory loss (``hudson_bay.jl:115-117``).
+
+    Args:
+      params: RHS parameters (differentiable pytree).
+      data: (N, dim) observations at times ``ts`` (N,).
+      rhs: ``f(t, u, params)``.
+      group_size / continuity_term: reference's knobs (e.g. 5 / 200).
+      loss_fn: per-segment data loss ``(pred, target, mask) -> scalar``;
+        defaults to masked squared error.
+
+    Returns scalar loss = Σ segment data loss + continuity_term · Σ
+    ‖pred_end(i) − data_start(i+1)‖².
+    """
+    from ..solvers.runge_kutta import Tsit5
+
+    solver = Tsit5() if solver is None else solver
+    adjoint = DiscreteAdjoint() if adjoint is None else adjoint
+    data = jnp.asarray(data)
+    ts = jnp.asarray(ts)
+    N = data.shape[0]
+    idx, mask = shooting_windows(N, group_size)
+    n_seg = idx.shape[0]
+
+    seg_ts = ts[idx]  # (n_seg, g)
+    seg_data = data[idx]  # (n_seg, g, dim)
+    u0s = seg_data[:, 0, :]
+
+    def solve_segment(u0, tw):
+        prob = ODEProblem(rhs, u0, (tw[0], tw[-1]), params)
+        sol = solve(prob, solver, saveat=tw, rtol=rtol, atol=atol,
+                    adjoint=adjoint, max_steps=max_steps)
+        return sol.ys
+
+    preds = jax.vmap(solve_segment)(u0s, seg_ts)  # (n_seg, g, dim)
+
+    if loss_fn is None:
+        def loss_fn(pred, target, m):
+            return jnp.sum(m[..., None] * (pred - target) ** 2)
+
+    data_loss = loss_fn(preds, seg_data, mask)
+    # continuity: end of segment i vs data start of segment i+1
+    ends = preds[:-1, -1, :]
+    starts = seg_data[1:, 0, :]
+    seg_valid = mask[:-1, -1]  # only fully-covered segment ends
+    continuity = jnp.sum(seg_valid[:, None] * (ends - starts) ** 2)
+    return data_loss + continuity_term * continuity
