@@ -1,0 +1,131 @@
+"""SDE solver (C5) and deep-BSDE (C22) tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.core.problem import SDEProblem
+from universal_differential_equations_tpu.solvers.sde import (
+    AdaptiveEM,
+    EulerHeun,
+    EulerMaruyama,
+    sdeint,
+)
+from universal_differential_equations_tpu.deepbsde import (
+    NNPDENS,
+    TerminalPDEProblem,
+    mc_analytical_hjb,
+    solve_terminal_pde,
+)
+from universal_differential_equations_tpu.nn import MLP
+
+
+def _ou_problem(theta=1.5, sigma=0.4):
+    # dX = -θX dt + σ dW ; stationary var σ²/2θ
+    return SDEProblem(
+        f=lambda t, y, args: -theta * y,
+        g=lambda t, y, args: sigma * jnp.ones_like(y),
+        u0=jnp.array([1.0]),
+        tspan=(0.0, 3.0),
+    )
+
+
+def test_em_ou_statistics():
+    prob = _ou_problem()
+    keys = jax.random.split(jax.random.PRNGKey(0), 2000)
+    ys = jax.vmap(
+        lambda k: sdeint(prob, key=k, n_steps=300).y_final[0]
+    )(keys)
+    # mean -> e^{-θT}, var -> σ²/2θ (T=3, θ=1.5: mean≈0.011, var≈0.0533)
+    assert abs(float(ys.mean()) - np.exp(-4.5)) < 0.01
+    assert abs(float(ys.var()) - 0.4**2 / 3.0) < 0.008
+
+
+def test_em_strong_convergence_gbm():
+    # dX = μX dt + σX dW has exact solution; strong order 0.5
+    mu, sig = 0.8, 0.3
+    prob = SDEProblem(
+        f=lambda t, y, args: mu * y,
+        g=lambda t, y, args: sig * y,
+        u0=jnp.array([1.0]),
+        tspan=(0.0, 1.0),
+    )
+    key = jax.random.PRNGKey(3)
+    errs = []
+    for n in [64, 256]:
+        keys = jax.random.split(key, 400)
+
+        def run(k):
+            sol = sdeint(prob, key=k, n_steps=n)
+            # exact solution using the SAME Brownian path (sum of increments)
+            dws = jax.random.normal(k, (n, 1)) * jnp.sqrt(1.0 / n)
+            WT = jnp.sum(dws)
+            exact = jnp.exp((mu - 0.5 * sig**2) * 1.0 + sig * WT)
+            return jnp.abs(sol.y_final[0] - exact)
+
+        errs.append(float(jax.vmap(run)(keys).mean()))
+    order = np.log(errs[0] / errs[1]) / np.log(256 / 64)
+    assert order > 0.35, f"strong order {order}"
+
+
+def test_euler_heun_runs():
+    prob = _ou_problem()
+    sol = sdeint(prob, EulerHeun(), key=jax.random.PRNGKey(1), n_steps=100,
+                 saveat=jnp.linspace(0, 3, 7))
+    assert sol.ys.shape == (7, 1) and bool(sol.success)
+
+
+def test_sdeint_differentiable():
+    # gradient of E[X_T] wrt drift parameter via the pathwise estimator
+    def mean_final(theta):
+        prob = SDEProblem(
+            f=lambda t, y, a: -a * y,
+            g=lambda t, y, a: 0.2 * jnp.ones_like(y),
+            u0=jnp.array([1.0]), tspan=(0.0, 1.0), args=theta,
+        )
+        keys = jax.random.split(jax.random.PRNGKey(0), 256)
+        ys = jax.vmap(lambda k: sdeint(prob, key=k, n_steps=64).y_final[0])(keys)
+        return ys.mean()
+
+    g = float(jax.grad(mean_final)(jnp.asarray(1.0)))
+    # d/dθ e^{-θ} = -e^{-θ} ≈ -0.368
+    assert abs(g + np.exp(-1.0)) < 0.05
+
+
+def test_adaptive_em_matches_fixed():
+    prob = _ou_problem()
+    alg = AdaptiveEM(grid_resolution=512, abstol=1e-4, reltol=1e-3)
+    keys = jax.random.split(jax.random.PRNGKey(2), 400)
+    ys_a = jax.vmap(lambda k: alg.solve(prob, key=k).y_final[0])(keys)
+    ys_f = jax.vmap(lambda k: sdeint(prob, key=k, n_steps=512).y_final[0])(keys)
+    # same Brownian grid → pathwise close; adaptive must take fewer steps
+    assert float(jnp.abs(ys_a - ys_f).mean()) < 0.02
+    n_used = alg.solve(prob, key=keys[0]).num_steps
+    assert int(n_used) < 512
+
+
+def test_deep_bsde_hjb_small():
+    # 4-dimensional HJB, the reference's validation contract (rel L2 < 0.2)
+    d, lam = 4, 1.0
+    x0 = jnp.zeros(d, jnp.float32)
+    g = lambda x: jnp.log(0.5 + 0.5 * jnp.sum(x * x))
+    prob = TerminalPDEProblem(
+        g=g,
+        f=lambda t, x, u, z: -lam * jnp.sum(z * z),
+        mu=lambda t, x: jnp.zeros_like(x),
+        sigma=lambda t, x: jnp.sqrt(2.0),
+        x0=x0, tspan=(0.0, 1.0),
+    )
+    hls = 16
+    alg = NNPDENS(
+        u0_net=MLP([d, hls, hls, 1], activation="relu"),
+        grad_net=MLP([d + 1, hls, hls, d], activation="relu"),
+    )
+    res = solve_terminal_pde(prob, alg, jax.random.PRNGKey(0),
+                             trajectories=64, n_steps=20, maxiters=800,
+                             learning_rate=0.03, pabstol=1e-3)
+    analytical = float(mc_analytical_hjb(g, x0, 1.0, lam, jax.random.PRNGKey(7),
+                                         n_samples=10**5, batch=10**4))
+    rel = abs(float(res.u0) - analytical) / abs(float(res.u0))
+    assert rel < 0.2, f"rel {rel}, u0 {float(res.u0)} vs {analytical}"

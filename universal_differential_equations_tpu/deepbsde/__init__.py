@@ -1,0 +1,1 @@
+from .solver import BSDEResult, NNPDENS, TerminalPDEProblem, mc_analytical_hjb, solve_terminal_pde
