@@ -1,0 +1,98 @@
+"""FENE-P rheology UDE: learning a closure against a stiff DAE ground truth.
+
+Reproduction of ``NonNewtonianFluids/FENEP.jl`` on TPU: exact shear stress
+from the native BDF DAE solver (reference: Sundials IDA), a 1-state UDE with
+two 2→4→1 tanh nets trained across strain rates γ̇=12cos(ωt), ω∈1.0:0.2:2.0,
+tested on held-out γ̇=12cos(1.5t) over (0,10), with the linear-model baseline
+comparison (``FENEP.jl:83-99``).
+
+Run: python examples/non_newtonian/fenep.py [--quick]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.models import fenep
+from universal_differential_equations_tpu.train import fit
+
+TSPAN = (0.0, 6.2831)
+OMEGAS = np.arange(1.0, 2.01, 0.2)
+
+
+def build_data():
+    ts = jnp.linspace(TSPAN[0], TSPAN[1], 100)
+    sig = []
+    for w in OMEGAS:
+        s, ok = fenep.find_sigma_exact(ts, lambda t: 12.0 * jnp.cos(w * t))
+        assert bool(ok), f"DAE solve failed for omega={w}"
+        sig.append(s)
+    ts10 = jnp.linspace(0.0, 10.0, 100)
+    s_test, ok = fenep.find_sigma_exact(ts10, lambda t: 12.0 * jnp.cos(1.5 * t))
+    assert bool(ok)
+    return ts, jnp.stack(sig), ts10, s_test
+
+
+def make_loss(f1, f0, ts, sigmas):
+
+    def predict_sigma(params, omega, tgrid, t_end):
+        def rhs(t, u, p):
+            gd = 12.0 * jnp.cos(omega * t)
+            return f1.apply(p["f1"], jnp.concatenate([u, gd[None]]))
+
+        prob = ude.ODEProblem(rhs, jnp.zeros(1), (0.0, t_end), params)
+        sol = ude.solve(prob, ude.Tsit5(), saveat=tgrid, rtol=1e-5, atol=1e-7,
+                        adjoint=ude.DiscreteAdjoint(), max_steps=256)
+        gd = 12.0 * jnp.cos(omega * tgrid)
+        inp = jnp.stack([sol.ys[:, 0], gd], axis=1)
+        return jax.vmap(lambda x: f0.apply(params["f0"], x)[0])(inp)
+
+    t_end = float(ts[-1])
+
+    def loss(params):
+        per_mode = jax.vmap(
+            lambda w, s: jnp.sum((predict_sigma(params, w, ts, t_end) - s) ** 2)
+        )(jnp.asarray(OMEGAS), sigmas)
+        return jnp.sum(per_mode)
+
+    return loss, predict_sigma
+
+
+def main(quick=False):
+    t0 = time.time()
+    ts, sigmas, ts10, sigma_test = build_data()
+    print(f"DAE data generation: {time.time()-t0:.1f}s "
+          f"({len(OMEGAS)} train modes + 1 test)")
+
+    results = {}
+    for tag, linear in [("neural", False), ("linear", True)]:
+        f1, f0, params0 = fenep.make_surrogate(jax.random.PRNGKey(3), linear=linear)
+        loss, predict_sigma = make_loss(f1, f0, ts, sigmas)
+        t1 = time.time()
+        res = fit(loss, params0, optax.adam(0.015),
+                  300 if quick else 2000, callback_every=500)
+        test_pred = predict_sigma(res.params, 1.5, ts10, float(ts10[-1]))
+        test_err = float(jnp.sum((test_pred - sigma_test) ** 2))
+        wall = time.time() - t1
+        print(f"{tag}: train loss {res.final_loss:.2f}, "
+              f"test err {test_err:.2f} ({wall:.0f}s)")
+        results[tag] = test_err
+
+    assert results["neural"] < results["linear"], \
+        "NN surrogate must beat the linear baseline (FENEP.jl comparison)"
+    print(f"NN beats linear baseline by {results['linear']/results['neural']:.1f}x")
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    main(quick=ap.parse_args().quick)

@@ -1,0 +1,126 @@
+"""Stiff/implicit solver tests: Rosenbrock23 and the native BDF DAE (C4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.core.integrate import integrate_fixed
+from universal_differential_equations_tpu.solvers.bdf import daeint, initialize_dae
+from universal_differential_equations_tpu.solvers.rosenbrock import Rosenbrock23
+
+
+def _rober_rhs(t, y, args):
+    k1, k2, k3 = 0.04, 3e7, 1e4
+    return jnp.array([
+        -k1 * y[0] + k3 * y[1] * y[2],
+        k1 * y[0] - k2 * y[1] ** 2 - k3 * y[1] * y[2],
+        k2 * y[1] ** 2,
+    ])
+
+
+# scipy Radau at rtol 1e-8 (cross-checked once, hard-coded)
+_ROBER_1E4 = np.array([1.07300429e-01, 4.80016698e-07, 8.92699091e-01])
+
+
+def test_rosenbrock_order_two():
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [20, 40, 80]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None,
+                                Rosenbrock23(), n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    assert np.log2(errs[-2] / errs[-1]) > 1.6
+
+
+def test_rosenbrock_robertson():
+    prob = ude.ODEProblem(_rober_rhs, jnp.array([1.0, 0.0, 0.0]), (0.0, 1e4))
+    sol = ude.solve(prob, Rosenbrock23(), rtol=1e-6, atol=1e-10,
+                    adjoint=ude.NoAdjoint(), max_steps=4096)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), _ROBER_1E4, rtol=1e-4)
+    assert abs(float(sol.y_final.sum()) - 1.0) < 1e-10  # mass conservation
+
+
+def test_rosenbrock_differentiable():
+    # discrete adjoint through the linearly-implicit stepper (LU inside)
+    def loss(k1):
+        def rhs(t, y, a):
+            return jnp.array([-a * y[0], a * y[0] - 1e3 * y[1]])
+        prob = ude.ODEProblem(rhs, jnp.array([1.0, 0.0]), (0.0, 1.0), k1)
+        sol = ude.solve(prob, Rosenbrock23(), rtol=1e-7, atol=1e-9,
+                        adjoint=ude.DiscreteAdjoint(), max_steps=256)
+        return sol.ys[-1, 0]
+
+    g = float(jax.grad(loss)(jnp.asarray(0.5)))
+    # d/dk e^{-k} at k=0.5
+    assert abs(g + np.exp(-0.5)) < 1e-4
+
+
+def test_dae_decay_implicit_form():
+    prob = ude.DAEProblem(f=lambda t, u, du, a: du + u,
+                          u0=jnp.array([1.0]), du0=jnp.array([-1.0]),
+                          tspan=(0.0, 2.0))
+    sol = daeint(prob, rtol=1e-8, atol=1e-10)
+    assert bool(sol.success)
+    assert abs(float(sol.y_final[0]) - np.exp(-2.0)) < 1e-6
+
+
+def test_dae_robertson_with_constraint():
+    # classic ROBER-DAE: 2 differential + 1 algebraic conservation row
+    def rober_dae(t, u, du, a):
+        y1, y2, y3 = u
+        return jnp.array([
+            du[0] + 0.04 * y1 - 1e4 * y2 * y3,
+            du[1] - 0.04 * y1 + 1e4 * y2 * y3 + 3e7 * y2 ** 2,
+            y1 + y2 + y3 - 1.0,
+        ])
+
+    prob = ude.DAEProblem(
+        f=rober_dae, u0=jnp.array([1.0, 0.0, 0.0]),
+        du0=jnp.array([-0.04, 0.04, 0.0]), tspan=(0.0, 1e4),
+        differential_vars=jnp.array([True, True, False]),
+    )
+    sol = daeint(prob, rtol=1e-7, atol=1e-10, max_steps=8192)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), _ROBER_1E4, rtol=1e-3)
+
+
+def test_dae_consistent_initialization():
+    # IDA calcIC analogue: start from inconsistent algebraic state
+    def rober_dae(t, u, du, a):
+        y1, y2, y3 = u
+        return jnp.array([
+            du[0] + 0.04 * y1 - 1e4 * y2 * y3,
+            du[1] - 0.04 * y1 + 1e4 * y2 * y3 + 3e7 * y2 ** 2,
+            y1 + y2 + y3 - 1.0,
+        ])
+
+    prob = ude.DAEProblem(
+        f=rober_dae, u0=jnp.array([1.0, 0.0, 0.7]),  # wrong y3
+        du0=jnp.zeros(3), tspan=(0.0, 1.0),
+        differential_vars=jnp.array([True, True, False]),
+    )
+    u0c, du0c, res = initialize_dae(prob)
+    assert float(res) < 1e-10
+    np.testing.assert_allclose(np.asarray(u0c), [1.0, 0.0, 0.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(du0c)[:2], [-0.04, 0.04], atol=1e-10)
+
+
+def test_fenep_truth_against_ida_role():
+    # FENE-P exact stress: native BDF replaces Sundials IDA (FENEP.jl:24-39);
+    # sanity: periodic steady oscillation, bounded, correct startup slope
+    from universal_differential_equations_tpu.models import fenep
+
+    ts = jnp.linspace(0.0, 6.2831, 50)
+    sigma, ok = fenep.find_sigma_exact(ts, lambda t: 12.0 * jnp.cos(t))
+    assert bool(ok)
+    s = np.asarray(sigma)
+    assert np.all(np.isfinite(s)) and 3.0 < np.abs(s).max() < 12.0
+    # startup slope of the *observed* stress: τ12 = θ12·fλ/λ (algebraic),
+    # so dτ12/dt(0) = (fλ(0)/λ)·dθ12/dt(0) = (4/2)·12 = 24
+    ts_fine = jnp.linspace(0.0, 0.01, 5)
+    s_fine, ok2 = fenep.find_sigma_exact(ts_fine, lambda t: 12.0 * jnp.cos(t))
+    assert bool(ok2)
+    slope = float((s_fine[1] - s_fine[0]) / (ts_fine[1] - ts_fine[0]))
+    assert abs(slope - 24.0) / 24.0 < 0.05

@@ -14,6 +14,9 @@ from .core.solution import DenseInterpolation, Solution
 from .core.controller import PIController
 from .solvers.runge_kutta import Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
 from .solvers.rkc import RKC1, RKC2
+from .solvers.rosenbrock import Rosenbrock23
+from .solvers.bdf import daeint, initialize_dae
+from .solvers.sde import AdaptiveEM, EulerHeun, EulerMaruyama, sdeint
 from .adjoint.sensitivity import (
     BacksolveAdjoint,
     DiscreteAdjoint,
@@ -28,6 +31,8 @@ __all__ = [
     "ODEProblem", "SDEProblem", "DAEProblem",
     "Solution", "DenseInterpolation", "PIController",
     "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun", "RKC1", "RKC2",
+    "Rosenbrock23", "daeint", "initialize_dae",
+    "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
     "InterpolatingAdjoint", "BacksolveAdjoint",
 ]

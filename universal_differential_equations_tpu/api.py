@@ -68,9 +68,17 @@ def solve(
       ``Solution`` with ``ts``/``ys`` on the save grid.
     """
     if isinstance(problem, SDEProblem):
-        raise TypeError("use universal_differential_equations_tpu.solvers.sde.sdeint for SDEProblem")
+        raise TypeError(
+            "SDE problems need a Brownian key: use "
+            "universal_differential_equations_tpu.solvers.sde.sdeint(problem, key=...)"
+        )
     if isinstance(problem, DAEProblem):
-        raise TypeError("use universal_differential_equations_tpu.solvers.bdf.daeint for DAEProblem")
+        # unified front-end dispatch (C11): DAEs go to the native BDF solver
+        from .solvers.bdf import daeint
+
+        return daeint(problem, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0,
+                      max_steps=max_steps or 4096, controller=controller,
+                      dense=dense)
     if not isinstance(problem, ODEProblem):
         raise TypeError(f"unsupported problem type {type(problem)}")
 

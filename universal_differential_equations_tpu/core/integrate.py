@@ -77,6 +77,11 @@ def _setup(f, y0, t0, t1, args, solver, rtol, atol, dt0):
     else:
         dt_init = jnp.abs(jnp.asarray(dt0, dtype))
         nfe0 = jnp.asarray(1, jnp.int32)
+    # Step-size control is non-differentiable by design: gradients through
+    # dt choices are sub-tolerance artifacts, and the Hairer heuristic hits
+    # sqrt(0) for zero initial states whose untaken where-branch poisons
+    # reverse AD with 0·inf = NaN.
+    dt_init = jax.lax.stop_gradient(dt_init)
     dt_init = jnp.minimum(dt_init, jnp.maximum(tau1 - tau0, jnp.finfo(dtype).tiny))
     state = _State(
         t=tau0,
@@ -117,7 +122,8 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     clamped = state.dt >= dt_cap
     dt = jnp.where(clamped, dt_cap, state.dt)
     y1, y_err, f1, nfe = solver.step(f_int, state.t, state.y, state.f, dt, args)
-    err = hairer_norm(y_err, state.y, y1, rtol, atol)
+    # controller scalars are non-differentiable (see dt_init note in _setup)
+    err = jax.lax.stop_gradient(hairer_norm(y_err, state.y, y1, rtol, atol))
     accept = err <= 1.0
     dt_next, err_prev = controller.next_dt(
         dt, err, state.err_prev, accept, solver.error_order
