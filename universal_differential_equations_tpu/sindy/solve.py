@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import itertools
+
 from .basis import Basis
 from .collocation import collocate_data
 from .optimizers import STLSQ, masked_lstsq
@@ -121,9 +123,17 @@ def sindy(
     selection: Union[str, Callable] = "aicc",
     cv_tolerance: float = 3.0,
     precision: str = "auto",
+    exhaustive_k: int = 0,
 ) -> "SINDyResult":
     """Sparse recovery: returns the best model per target equation across the
     optimizer's threshold grid.
+
+    ``exhaustive_k > 0`` additionally evaluates *every* support of size
+    ≤ exhaustive_k by masked least squares (all vmapped — a few hundred m×m
+    solves are one fused device program).  Iterative thresholding cannot
+    un-cancel collinear groups, so on nearly-collinear libraries the greedy
+    path skips exactly the sparse supports that extrapolate; exhaustive
+    small-support search guarantees they compete in selection.
 
     ``precision="auto"`` runs the (tiny) normal-equation sweep in float64 on
     the host CPU when the session is float32: polynomial libraries on
@@ -149,14 +159,19 @@ def sindy(
         theta_raw = _svht_denoise(theta_raw)
     m = theta_raw.shape[1]
     if normalize:
-        # Solve in the column-normalized frame: conditioning improves by many
-        # orders on polynomial libraries, and thresholds compare
-        # scale-free coefficients (the reference's ``normalize`` option).
+        # Solve in the fully normalized frame — unit-RMS feature columns AND
+        # unit-RMS targets — so thresholds compare scale-free coefficients
+        # regardless of the physical magnitudes (the SEIR exposure term is
+        # ~1e-6; thresholding raw coefficients there is meaningless).
         scale = jnp.linalg.norm(theta_raw, axis=0) / jnp.sqrt(N)
         scale = jnp.where(scale > 0, scale, 1.0)
+        y_scale = jnp.sqrt(jnp.mean(Y**2, axis=0))
+        y_scale = jnp.where(y_scale > 0, y_scale, 1.0)
     else:
         scale = jnp.ones((m,), theta_raw.dtype)
+        y_scale = jnp.ones((d,), theta_raw.dtype)
     theta = theta_raw / scale
+    Y = Y / y_scale
 
     if selection == "aicc":
         score_fn = _aicc
@@ -167,13 +182,38 @@ def sindy(
 
     data_dtype = theta.dtype
 
+    if exhaustive_k > 0:
+        sup = [np.zeros(m, bool)]
+        for k in range(1, exhaustive_k + 1):
+            for c in itertools.combinations(range(m), k):
+                row = np.zeros(m, bool)
+                row[list(c)] = True
+                sup.append(row)
+        support_masks = np.stack(sup)
+    else:
+        support_masks = None
+
     @jax.jit
     def sweep(theta, Y):
         gram = theta.T @ theta
         corrs = theta.T @ Y  # (m, d)
+        eps_r = 10.0 * jnp.finfo(theta.dtype).eps * jnp.mean(jnp.diag(gram))
+
+        def candidates(gram_x, corr_x):
+            """Grid-path candidates plus exhaustive small supports."""
+            xi, active = optimizer.fit_grid(gram_x, corr_x)  # (L, m)
+            if support_masks is not None:
+                masks = jnp.asarray(support_masks)
+                xi_e = jax.vmap(
+                    lambda mk: masked_lstsq(gram_x, corr_x, mk, eps_r)
+                )(masks)
+                xi_e = jnp.where(masks, xi_e, 0.0)
+                xi = jnp.concatenate([xi, xi_e])
+                active = jnp.concatenate([active, masks])
+            return xi, active
 
         def per_target(corr, y):
-            xi, active = optimizer.fit_grid(gram, corr)  # (L, m)
+            xi, active = candidates(gram, corr)  # (L+C, m)
             resid = theta @ xi.T - y[:, None]  # (N, L)
             ks = active.sum(axis=1)
             rss = jnp.sum(resid**2, axis=0)  # (L,)
@@ -195,7 +235,7 @@ def sindy(
                     keep = 1.0 - wb  # train rows
                     gram_b = theta.T @ (theta * keep[:, None])
                     corr_b = theta.T @ (y * keep)
-                    xi_b, act_b = optimizer.fit_grid(gram_b, corr_b)
+                    xi_b, act_b = candidates(gram_b, corr_b)
                     res_b = (theta @ xi_b.T - y[:, None]) * wb[:, None]
                     return jnp.sum(res_b**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
 
@@ -229,6 +269,11 @@ def sindy(
     else:
         out = [np.asarray(v) for v in sweep(theta, Y)]
     xi, active, rss, ks, scores, best_idx = out
+    # undo target normalization: raw-frame coefficients and residuals
+    ysc = np.asarray(y_scale)
+    xi = xi * ysc[:, None]
+    rss = rss * ysc**2
+    n_grid_candidates = len(optimizer.thresholds)
     # prune numerically-zero survivors (representable targets leave
     # O(eps)-coefficient artifacts on collinear features)
     tiny = np.maximum(1e-8, 100.0 * float(jnp.finfo(data_dtype).eps)) * np.max(
@@ -247,7 +292,9 @@ def sindy(
         sparsity=np.asarray(ks),
         aicc=np.asarray(_aicc(jnp.asarray(ks), jnp.asarray(rss), N)),
         scores=np.asarray(scores),
-        chosen_thresholds=thresholds[np.asarray(best_idx)],
+        chosen_thresholds=thresholds[
+            np.minimum(np.asarray(best_idx), len(thresholds) - 1)
+        ],
     )
 
 

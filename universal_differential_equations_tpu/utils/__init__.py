@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where", "tree_add", "tree_scale"]
+__all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
+           "tree_add", "tree_scale", "rescale_problem"]
 
 
 def flat_dim(tree) -> int:
@@ -33,3 +34,27 @@ def tree_add(a, b):
 
 def tree_scale(c, a):
     return jax.tree.map(lambda x: c * x, a)
+
+
+def rescale_problem(problem, scales):
+    """Diagonal state rescaling: solve in units ``v = scales ⊙ u``.
+
+    Exactly preserves the dynamics (``dv/dt = scales ⊙ f(t, v/scales)``) while
+    conditioning all state components to O(1) — essential for float32 TPU
+    training of systems whose states span many decades (e.g. the SEIR case:
+    susceptibles ~1 vs infected ~1e-5; SURVEY.md C27).  ``scales`` is a pytree
+    matching ``u0``.  Returns a new problem; map solutions back with
+    ``ys / scales``.
+    """
+    import dataclasses
+
+    s_flat = jax.tree.map(jnp.asarray, scales)
+    f = problem.f
+
+    def f_scaled(t, v, args):
+        u = jax.tree.map(lambda vv, ss: vv / ss, v, s_flat)
+        du = f(t, u, args)
+        return jax.tree.map(lambda dd, ss: dd * ss, du, s_flat)
+
+    u0_s = jax.tree.map(lambda uu, ss: uu * ss, problem.u0, s_flat)
+    return dataclasses.replace(problem, f=f_scaled, u0=u0_s)
