@@ -1,0 +1,77 @@
+"""Driver benchmark: climate neural-PDE adjoint loss+gradient on real TPU.
+
+Reproduces the one wall-clock measurement committed in the reference:
+``Climate/NeuralPDE/timing.txt`` records 0.879/0.938/0.896 s for a single
+adjoint loss+gradient evaluation of the 1-D neural PDE (GeForce MX150-era
+hardware).  This benchmark runs the same-shaped evaluation — 30-point column,
+D1·NN(u)+D2·u right-hand side, 30-point saveat grid, continuous interpolating
+adjoint — jitted on the TPU, and reports median wall-clock per loss+grad.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = reference_seconds / ours (>1 means faster than the reference).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.models import climate_npde as cn
+
+BASELINE_SECONDS = 0.879  # Climate/NeuralPDE/timing.txt:1
+
+
+def main():
+    D1, D2, eig = cn.getops(32)
+    u0 = cn.get_u0(32)
+    ts = jnp.linspace(0.0, 1.5, 30, dtype=jnp.float32)
+
+    # ground truth (npde.jl:59-63); tolerance relaxed to f32-reachable
+    truth = ude.solve(
+        ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.5), (D1, D2)), ude.Tsit5(),
+        saveat=ts, rtol=1e-6, atol=1e-8, adjoint=ude.NoAdjoint(),
+        max_steps=4096,
+    )
+    data = truth.ys
+
+    rhs, params0, net = cn.make_neural_rhs(jax.random.PRNGKey(0))
+
+    def loss(params):
+        sol = ude.solve(
+            ude.ODEProblem(rhs, u0, (0.0, 1.5), (params, D1, D2)), ude.Tsit5(),
+            saveat=ts, rtol=1e-4, atol=1e-6,
+            adjoint=ude.InterpolatingAdjoint(), max_steps=2048,
+        )
+        return jnp.sum((sol.ys - data) ** 2)
+
+    value_and_grad = jax.jit(jax.value_and_grad(loss))
+
+    # warmup/compile
+    l, g = value_and_grad(params0)
+    jax.block_until_ready((l, g))
+    assert jnp.isfinite(l), f"non-finite loss {l}"
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        l, g = value_and_grad(params0)
+        jax.block_until_ready((l, g))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+
+    print(json.dumps({
+        "metric": "climate_npde_adjoint_loss_grad",
+        "value": round(median * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_SECONDS / median, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

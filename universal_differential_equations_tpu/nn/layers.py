@@ -166,17 +166,25 @@ class FourierBasis:
     """Fourier feature basis on [-1, 1]-scaled input (``DiffEqFlux.FourierBasis``).
 
     ``n`` basis functions: sin(k·x) for k=1..⌈n/2⌉ and cos(k·x) for the rest
-    (``Fisher-KPP-CNN-Fourier.jl:89-92``).
+    (``Fisher-KPP-CNN-Fourier.jl:89-92``).  With ``include_constant=True`` the
+    first function is 1 — pure trig bases cannot represent functions with a
+    free constant (e.g. the logistic reaction u−u²), which silently floors
+    the Fisher-KPP fit.
     """
 
     n: int
+    include_constant: bool = False
 
     def __call__(self, x):
-        ks = jnp.arange(1, self.n // 2 + self.n % 2 + 1, dtype=x.dtype)
+        n_trig = self.n - int(self.include_constant)
+        ks = jnp.arange(1, n_trig // 2 + n_trig % 2 + 1, dtype=x.dtype)
         sins = jnp.sin(ks * x[..., None])
-        kc = jnp.arange(1, self.n // 2 + 1, dtype=x.dtype)
+        kc = jnp.arange(1, n_trig // 2 + 1, dtype=x.dtype)
         coss = jnp.cos(kc * x[..., None])
-        return jnp.concatenate([sins, coss], axis=-1)
+        parts = [sins, coss]
+        if self.include_constant:
+            parts.insert(0, jnp.ones_like(x[..., None]))
+        return jnp.concatenate(parts, axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,115 @@
+"""Levenberg-Marquardt for small-parameter least-squares UDE fits.
+
+The reference grinds trajectory-fitting losses with ADAM→BFGS
+(``Fisher-KPP-CNN-Fourier.jl:230-232``: 1400 iterations for 7 parameters).
+For losses that are explicit residual sums — exactly the UDE case: residuals
+= (solution − data) on the save grid — Gauss-Newton curvature is available
+for the cost of ``n_params`` forward-mode solves (``jax.jacfwd`` through the
+differentiable stepper, SURVEY.md C7), and Levenberg-Marquardt converges in
+tens of iterations where first-order methods take thousands.
+
+Entirely on device: one ``lax.while_loop``, Jacobian per iteration, damped
+normal equations solved as an (n, n) system.  Intended for n ≲ a few hundred.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+__all__ = ["levenberg_marquardt", "LMResult"]
+
+
+class LMResult(NamedTuple):
+    params: object
+    loss: jnp.ndarray  # final sum of squared residuals
+    iterations: jnp.ndarray
+    lam: jnp.ndarray
+    converged: jnp.ndarray
+
+
+class _LMState(NamedTuple):
+    x: jnp.ndarray
+    r: jnp.ndarray
+    loss: jnp.ndarray
+    lam: jnp.ndarray
+    k: jnp.ndarray
+    done: jnp.ndarray
+    stall: jnp.ndarray
+
+
+def levenberg_marquardt(
+    residual_fn: Callable,
+    params0,
+    *,
+    maxiters: int = 100,
+    lam0: float = 1e-3,
+    lam_up: float = 3.0,
+    lam_down: float = 0.3,
+    gtol: float = 1e-9,
+    loss_tol: float = 0.0,
+    max_stall: int = 8,
+) -> LMResult:
+    """Minimize ``‖residual_fn(params)‖²`` over a pytree of parameters.
+
+    ``loss_tol``: early exit when the loss drops below it (the reference's
+    ``l < 0.01`` callbacks).  A step is accepted when it reduces the loss;
+    rejected steps raise λ toward gradient descent.
+    """
+    x0, unravel = ravel_pytree(params0)
+    dtype = x0.dtype
+
+    def r_flat(x):
+        return ravel_pytree(residual_fn(unravel(x)))[0]
+
+    r0 = r_flat(x0)
+    loss0 = jnp.sum(r0 * r0)
+
+    init = _LMState(
+        x=x0, r=r0, loss=loss0,
+        lam=jnp.asarray(lam0, dtype),
+        k=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+        stall=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return ~s.done & (s.k < maxiters)
+
+    def body(s):
+        J = jax.jacfwd(r_flat)(s.x)  # (m, n)
+        g = J.T @ s.r
+        H = J.T @ J
+        diag = jnp.diag(H)
+        A = H + s.lam * jnp.diag(jnp.maximum(diag, 1e-12))
+        step = jnp.linalg.solve(A, g)
+        x_new = s.x - step
+        r_new = r_flat(x_new)
+        loss_new = jnp.sum(r_new * r_new)
+        accept = (loss_new < s.loss) & jnp.all(jnp.isfinite(r_new))
+        lam = jnp.where(accept, s.lam * lam_down, s.lam * lam_up)
+        lam = jnp.clip(lam, 1e-12, 1e12)
+        stall = jnp.where(accept, 0, s.stall + 1).astype(jnp.int32)
+        gnorm = jnp.max(jnp.abs(g))
+        done = (
+            (accept & (loss_new < loss_tol))
+            | (gnorm < gtol)
+            | (stall >= max_stall)
+        )
+        return _LMState(
+            x=jnp.where(accept, x_new, s.x),
+            r=jnp.where(accept, r_new, s.r),
+            loss=jnp.where(accept, loss_new, s.loss),
+            lam=lam, k=s.k + 1, done=done, stall=stall,
+        )
+
+    s = jax.lax.while_loop(cond, body, init)
+    return LMResult(
+        params=unravel(s.x),
+        loss=s.loss,
+        iterations=s.k,
+        lam=s.lam,
+        converged=s.loss <= jnp.maximum(loss_tol, s.loss),
+    )

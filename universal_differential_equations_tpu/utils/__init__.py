@@ -12,7 +12,19 @@ import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
 __all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
-           "tree_add", "tree_scale", "rescale_problem"]
+           "tree_add", "tree_scale", "rescale_problem",
+           "enable_compilation_cache"]
+
+
+def enable_compilation_cache(path="/tmp/ude_tpu_jax_cache"):
+    """Persist XLA compilations across processes.
+
+    Adaptive-solver programs (nested scans/while loops) compile in minutes on
+    TPU; the cache turns every later run of the same example/benchmark into a
+    sub-second load.  Call before the first jit.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def flat_dim(tree) -> int:
