@@ -1,0 +1,221 @@
+"""Noise-robustness recovery study: the 500-run ensemble, batched on TPU.
+
+Reproduction of ``LotkaVolterra/run_loops.jl`` + ``loop_recoveries.jl`` +
+``loop_evaluation.jl``.  The reference runs 500 *sequential* full recoveries
+(fresh net init, ADAM→BFGS training, SINDy) with a noise schedule stepping
+every 100 runs and try/catch fault isolation.  TPU-native design (SURVEY.md
+§2.4 — "this is where the ≥20× target is won"): runs are lanes of vmapped
+programs — all lanes advance in lockstep through jitted ADAM and BFGS rounds,
+the SINDy sweeps are one batched gram/threshold/CV kernel, and fault
+tolerance is finite-masking instead of exceptions.
+
+The device programs are deliberately staged (ADAM stage, BFGS rounds of 250
+iterations, recovery stage): a single monolithic 2000-iteration program trips
+the TPU runtime watchdog.
+
+Success metrics per noise level (``loop_evaluation.jl:30-35,102-130``):
+* exact  — both equations recover exactly the {x·y} term,
+* x*y    — both equations contain the x·y term (dominant physics found).
+
+Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu import sindy as sd
+from universal_differential_equations_tpu.io import KeyedArchive
+from universal_differential_equations_tpu.models import lotka_volterra as lv
+from universal_differential_equations_tpu.sindy.optimizers import STLSQ, masked_lstsq
+from universal_differential_equations_tpu.core.integrate import integrate_fixed
+from universal_differential_equations_tpu.train import bfgs_minimize, levenberg_marquardt
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+NOISE_LEVELS = (1e-3, 5e-3, 1e-2, 2.5e-2, 5e-2)  # run_loops.jl:40-46
+LAMS = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.2))
+BFGS_ROUNDS = 4
+BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
+LM_ROUNDS = 2
+CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
+SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
+
+
+def main(runs_per_level=100):
+    n_levels = len(NOISE_LEVELS)
+    n_runs = n_levels * runs_per_level
+    ts, X, _ = lv.generate_data(jax.random.PRNGKey(0), rtol=1e-7, atol=1e-9)
+    x_mean = jnp.mean(X, axis=0)
+    noise_mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32),
+                            runs_per_level)
+    keys = jax.random.split(jax.random.PRNGKey(42), n_runs)
+
+    rhs, params0, net = lv.make_ude(jax.random.PRNGKey(7))
+    _, unravel = jax.flatten_util.ravel_pytree(params0)
+    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+    names = basis.names
+    i_xy = names.index("u1*u2")
+    t_end = float(ts[-1])
+
+    def make_data(key, mag):
+        return X + mag * x_mean * jax.random.normal(key, X.shape)
+
+    n_step = (len(ts) - 1) * SUB
+
+    def lane_resid(theta, data):
+        # fixed-step Tsit5: the adaptive machinery is latency-bound inside
+        # lockstep BFGS lanes; 4 substeps per save interval resolves the LV
+        # dynamics well below the f32 floor at ~6x the speed
+        _, ys = integrate_fixed(rhs, data[0], 0.0, t_end, unravel(theta),
+                                ude.Tsit5(), n_step)
+        return (ys[::SUB] - data).ravel()
+
+    def mean_loss(theta, data):
+        r = lane_resid(theta, data)
+        return jnp.mean(r**2)
+
+    @jax.jit
+    @jax.vmap
+    def adam_stage(key, mag):
+        k_noise, k_init = jax.random.split(key)
+        data = make_data(k_noise, mag)
+        theta0 = jax.flatten_util.ravel_pytree(net.init(k_init))[0]
+        opt = optax.adam(0.1)
+
+        def step(carry, _):
+            th, st = carry
+            l, g = jax.value_and_grad(lambda t_: mean_loss(t_, data))(th)
+            up, st = opt.update(g, st, th)
+            return (optax.apply_updates(th, up), st), l
+
+        (theta, _), _ = jax.lax.scan(step, (theta0, opt.init(theta0)), None,
+                                     length=200)
+        return theta, data
+
+    @jax.jit
+    @jax.vmap
+    def bfgs_round(theta, data):
+        r = bfgs_minimize(lambda t_: mean_loss(t_, data), theta,
+                          maxiters=BFGS_ITERS_PER_ROUND,
+                          initial_stepnorm=0.01, gtol=1e-12)
+        return jax.flatten_util.ravel_pytree(r.params)[0], r.value
+
+    @jax.jit
+    @jax.vmap
+    def lm_round(theta, data):
+        r = levenberg_marquardt(lambda th: lane_resid(th, data), theta,
+                                maxiters=60, max_stall=10)
+        n_res = 2.0 * len(ts)
+        return (jax.flatten_util.ravel_pytree(r.params)[0], r.loss / n_res)
+
+    m = len(basis)
+    masks1 = jnp.eye(m, dtype=bool)
+    opt_s = STLSQ(LAMS)
+
+    @jax.jit
+    @jax.vmap
+    def recover_stage(theta, data, final_loss):
+        _, ys_fixed = integrate_fixed(rhs, data[0], 0.0, t_end,
+                                      unravel(theta), ude.Tsit5(), n_step)
+        Xh = ys_fixed[::SUB]
+        Yh = jax.vmap(lambda u: net.apply(unravel(theta), u))(Xh)
+        theta_feat = basis.theta(Xh)
+        N = Xh.shape[0]
+        fsc = jnp.linalg.norm(theta_feat, axis=0) / jnp.sqrt(1.0 * N)
+        th_n = theta_feat / jnp.where(fsc > 0, fsc, 1.0)
+        folds = jnp.asarray(sd.DataSampler(4).masks(N), jnp.float32)
+
+        def candidates(gram, corr):
+            xi, active = opt_s.fit_grid(gram, corr)
+            xi1 = jax.vmap(lambda mk: masked_lstsq(gram, corr, mk, 1e-7))(masks1)
+            return (jnp.concatenate([xi, jnp.where(masks1, xi1, 0.0)]),
+                    jnp.concatenate([active, masks1]))
+
+        def recover_eq(y):
+            ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
+            yn = y / ysc
+            xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
+            ks = active.sum(axis=1)
+
+            def fold(wb):
+                keep = 1.0 - wb
+                xib, _ = candidates(th_n.T @ (th_n * keep[:, None]),
+                                    th_n.T @ (yn * keep))
+                rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
+                return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
+
+            cv = jax.vmap(fold)(folds).mean(axis=0)
+            # generous parsimony: f32 fits leave ~1% NN error that dense
+            # models chase
+            ok = cv <= 10.0 * jnp.min(cv)
+            kmin = jnp.min(jnp.where(ok, ks, jnp.iinfo(jnp.int32).max))
+            best = jnp.argmin(jnp.where(ok & (ks == kmin), cv,
+                                        jnp.asarray(jnp.inf, cv.dtype)))
+            return active[best], xi[best] * ysc / fsc
+
+        act1, c1 = recover_eq(Yh[:, 0])
+        act2, c2 = recover_eq(Yh[:, 1])
+        want = jnp.zeros(m, bool).at[i_xy].set(True)
+        fit_ok = jnp.isfinite(final_loss) & (final_loss < 1e-3)
+        exact = jnp.all(act1 == want) & jnp.all(act2 == want) & fit_ok
+        contains = act1[i_xy] & act2[i_xy] & fit_ok
+        return exact, contains, fit_ok, c1[i_xy], c2[i_xy]
+
+    print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
+          f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
+          f"BFGS rounds", flush=True)
+    t0 = time.time()
+    results = []
+    for c0 in range(0, n_runs, CHUNK):
+        sl = slice(c0, min(c0 + CHUNK, n_runs))
+        theta, data = adam_stage(keys[sl], noise_mags[sl])
+        loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
+        for _ in range(BFGS_ROUNDS):
+            theta, loss = bfgs_round(theta, data)
+        for _ in range(LM_ROUNDS):
+            theta, loss = lm_round(theta, data)
+        results.append(recover_stage(theta, data, loss))
+        jax.block_until_ready(results[-1][0])
+        print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    exact, contains, fit_ok, c1, c2 = [
+        np.concatenate([np.asarray(r[i]) for r in results]) for i in range(5)
+    ]
+    wall = time.time() - t0
+
+    exact = exact.reshape(n_levels, runs_per_level)
+    contains = contains.reshape(n_levels, runs_per_level)
+    fit_ok = fit_ok.reshape(n_levels, runs_per_level)
+    print(f"total wall-clock: {wall:.1f}s "
+          f"({wall/n_runs*1e3:.0f} ms per full recovery)")
+    print(f"{'noise':>8} | {'trained':>8} | {'x*y found':>9} | {'exact':>6}")
+    for lvl, mag in enumerate(NOISE_LEVELS):
+        print(f"{mag:8.0e} | {fit_ok[lvl].mean():8.1%} | "
+              f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%}")
+
+    arch = KeyedArchive(Path(__file__).parent / "results")
+    arch.save("loop_study", exact=jnp.asarray(exact),
+              contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
+              coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS))
+    print(f"archived to {arch.root}/loop_study.npz")
+    low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
+    assert low_noise_rate >= 0.15, \
+        f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
+    return dict(exact=exact.mean(axis=1).tolist(),
+                contains=contains.mean(axis=1).tolist(), wall=wall)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs-per-level", type=int, default=100)
+    main(runs_per_level=ap.parse_args().runs_per_level)
