@@ -8,6 +8,17 @@ universal PDEs, deep-BSDE solvers, and sharded trajectory ensembles.
 See SURVEY.md for the capability map (C1-C29).
 """
 
+import jax as _jax
+
+# Scientific-computing default: full-f32 matmuls.  On TPU, XLA routes f32
+# matmuls through the MXU with bfloat16 inputs by default; for the tiny
+# networks embedded in differential equations this silently caps trajectory
+# fits at ~1e-4 (measured: forcing f32 drops ensemble training losses from
+# 1.2e-4 to 4e-6 median — 28x).  The MXU speed this sacrifices is irrelevant
+# at these model sizes.  Override after import if large-matmul throughput
+# matters: jax.config.update("jax_default_matmul_precision", "bfloat16").
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from .api import solve
 from .core.problem import DAEProblem, ODEProblem, SDEProblem, remake
 from .core.solution import DenseInterpolation, Solution

@@ -11,9 +11,11 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
+from .profiling import StepTimer, benchmark, trace
+
 __all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
            "tree_add", "tree_scale", "rescale_problem",
-           "enable_compilation_cache"]
+           "enable_compilation_cache", "benchmark", "trace", "StepTimer"]
 
 
 def enable_compilation_cache(path="/tmp/ude_tpu_jax_cache"):
