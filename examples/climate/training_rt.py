@@ -1,0 +1,124 @@
+"""Climate neural-PDE training on Rayleigh-Taylor horizontal averages.
+
+The reference pipeline (``Climate/Training/neural_pde_rayleigh_taylor_
+instability.jl``): load b̄(z, t) horizontal averages from the 3-D data run,
+coarse-grain 1-D profiles to 16 vertical levels (``:55-75``), build one-step
+training pairs (bₙ, bₙ₊₁) (``:94-106``), train a Chain
+(16→32→64→64→32→16, tanh) as a neural-ODE one-step propagator with
+tspan=(0, Δt) and Tsit5 at rtol 1e-4 (``:111-127``), ADAM(1e-3) with
+best-loss checkpointing and LR-drop-on-plateau over epochs (``:150-182``),
+then roll the trained propagator out from b̄(z, 0) and compare (``:188``).
+
+TPU-shape differences: the per-pair ``Flux.train!`` sweep becomes ONE
+vmapped full-batch loss (100 one-step solves per gradient, all on device),
+and the epoch loop is `fit`'s chunked-scan driver.
+
+Run:  python examples/climate/training_rt.py [--quick]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from universal_differential_equations_tpu import (  # noqa: E402
+    BestCheckpoint,
+    MLP,
+    NeuralODE,
+    fit,
+    reduce_on_plateau,
+)
+from universal_differential_equations_tpu.models.climate_datagen import (  # noqa: E402
+    coarse_grain,
+    rayleigh_taylor_3d,
+)
+
+
+def load_or_generate(quick: bool):
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "rt_horizontal_averages.npz")
+    if os.path.exists(path) and not quick:
+        d = np.load(path)
+        return d["t"], d["z"], d["b"]
+    shape, endt = ((16, 2, 16), 0.6) if quick else ((48, 4, 48), 4.0)
+    print(f"generating RT data on a {shape} grid ...")
+    return rayleigh_taylor_3d(N=shape, end_time=endt, save_every=0.1,
+                              key=jax.random.PRNGKey(1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    t, z, b = load_or_generate(args.quick)
+
+    # saves land at chunk boundaries, not exactly on the 0.1 grid: resample
+    # each vertical level onto the uniform grid the one-step pairs assume
+    dt_pair = 0.1
+    t_u = np.arange(0.0, t[-1] + 1e-9, dt_pair)
+    b_u = np.stack([np.interp(t_u, t, b[:, k]) for k in range(b.shape[1])], 1)
+
+    cr = 8 if args.quick else 16  # coarse resolution (reference: 16, :69)
+    b_cs = np.asarray(coarse_grain(b_u, b_u.shape[1] // cr))
+    n_pairs = min(100, len(t_u) - 1)  # reference N=100 (:102)
+    bn = jnp.asarray(b_cs[:n_pairs], jnp.float32)
+    bn1 = jnp.asarray(b_cs[1:n_pairs + 1], jnp.float32)
+    print(f"{n_pairs} training pairs at {cr} levels, t in [0, {t_u[-1]:.1f}]")
+
+    net = MLP([cr, 2 * cr, 4 * cr, 4 * cr, 2 * cr, cr], activation="tanh")
+    params = net.init(jax.random.PRNGKey(42), jnp.float32)
+    prop = NeuralODE(net, (0.0, dt_pair), rtol=1e-4, atol=1e-6, max_steps=64)
+
+    def loss_fn(params):
+        pred = jax.vmap(lambda b0: prop(params, b0))(bn)
+        return jnp.mean((pred - bn1) ** 2)
+
+    ckpt_path = os.path.join(os.path.dirname(__file__), "data", "dbdt_nn.npz")
+    os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+    ckpt = BestCheckpoint(ckpt_path)
+    sched = reduce_on_plateau(1e-3, factor=0.1, patience=2)
+
+    epochs = 3 if args.quick else 25
+    steps_per_epoch = 20 if args.quick else 100
+    lr = 1e-3
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        res = fit(loss_fn, params, optax.adam(lr), steps_per_epoch,
+                  callback=ckpt, callback_every=steps_per_epoch)
+        params = res.params
+        loss = res.final_loss
+        new_lr = sched(loss)
+        if new_lr != lr:
+            print(f"  plateau: lr {lr:.1e} -> {new_lr:.1e}")
+            lr = new_lr
+        print(f"epoch {epoch + 1:3d}  train_loss = {loss:.3e}")
+    wall = time.perf_counter() - t0
+    print(f"trained in {wall:.1f}s  (best checkpointed loss {ckpt.best:.3e})")
+
+    # rollout the propagator by itself from the initial profile (:188)
+    n_roll = len(b_cs) - 1
+    roll = [jnp.asarray(b_cs[0], jnp.float32)]
+    step = jax.jit(lambda p, b0: prop(p, b0))
+    for _ in range(n_roll):
+        roll.append(step(params, roll[-1]))
+    roll = np.stack([np.asarray(r) for r in roll])
+    rel = np.linalg.norm(roll - b_cs[: n_roll + 1]) / np.linalg.norm(
+        b_cs[: n_roll + 1])
+    print(f"free rollout over {n_roll} steps: rel-L2 = {rel:.4f}")
+
+    if not args.quick:
+        assert ckpt.best < 2e-4, f"train loss {ckpt.best:.3e} too high"
+        assert rel < 0.25, f"rollout rel-L2 {rel:.3f} too high"
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,16 @@ from .adjoint.sensitivity import (
     NoAdjoint,
 )
 
+from .nn.layers import (
+    Chain, Dense, FourierBasis, MLP, StencilConv1D, TensorLayer, rbf,
+)
+from .train.fit import FitResult, fit, fit_bfgs, reduce_on_plateau
+from .train.bfgs import bfgs_minimize
+from .train.lm import levenberg_marquardt
+from .train.shooting import multiple_shoot, shooting_windows
+from .io.checkpoint import BestCheckpoint, KeyedArchive, load_pytree, save_pytree
+from .models.neural_ode import NeuralODE, neural_ode
+
 __version__ = "0.1.0"
 __all__ = [
     "solve", "remake",
@@ -46,4 +56,10 @@ __all__ = [
     "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
     "InterpolatingAdjoint", "BacksolveAdjoint",
+    "Chain", "Dense", "MLP", "FourierBasis", "StencilConv1D", "TensorLayer",
+    "rbf",
+    "fit", "fit_bfgs", "FitResult", "reduce_on_plateau", "bfgs_minimize",
+    "levenberg_marquardt", "multiple_shoot", "shooting_windows",
+    "BestCheckpoint", "KeyedArchive", "save_pytree", "load_pytree",
+    "NeuralODE", "neural_ode",
 ]
