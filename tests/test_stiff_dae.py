@@ -107,6 +107,48 @@ def test_dae_consistent_initialization():
     np.testing.assert_allclose(np.asarray(du0c)[:2], [-0.04, 0.04], atol=1e-10)
 
 
+def test_dae_variable_order_pays_off():
+    # IDA-parity check: the variable-order BDF(1-5) must solve Robertson
+    # in far fewer steps than its order-2 subset at equal tolerance, and at
+    # least as accurately (measured: ~244 vs ~1067 accepted steps).
+    def rober_dae(t, u, du, a):
+        y1, y2, y3 = u
+        return jnp.array([
+            du[0] + 0.04 * y1 - 1e4 * y2 * y3,
+            du[1] - 0.04 * y1 + 1e4 * y2 * y3 + 3e7 * y2 ** 2,
+            y1 + y2 + y3 - 1.0,
+        ])
+
+    prob = ude.DAEProblem(
+        f=rober_dae, u0=jnp.array([1.0, 0.0, 0.0]),
+        du0=jnp.array([-0.04, 0.04, 0.0]), tspan=(0.0, 1e4),
+        differential_vars=jnp.array([True, True, False]),
+    )
+    sol5 = daeint(prob, rtol=1e-7, atol=1e-10, max_steps=16384, max_order=5)
+    sol2 = daeint(prob, rtol=1e-7, atol=1e-10, max_steps=16384, max_order=2)
+    assert bool(sol5.success) and bool(sol2.success)
+    assert int(sol5.num_accepted) < 0.5 * int(sol2.num_accepted)
+    np.testing.assert_allclose(np.asarray(sol5.y_final), _ROBER_1E4, rtol=1e-4)
+
+
+def test_dae_high_order_polynomial():
+    # BDF-5 must integrate a degree-5 polynomial essentially exactly once
+    # the order ramp completes (the divided-difference LTE estimate of a
+    # degree-5 polynomial vanishes at order 5 → big steps, tiny error).
+    c = [0.3, -0.2, 0.05, 0.01, -0.002, 0.0004]
+    poly = lambda t: sum(ci * t ** i for i, ci in enumerate(c))
+    dpoly = lambda t: sum(i * ci * t ** (i - 1) for i, ci in enumerate(c) if i)
+    prob = ude.DAEProblem(
+        f=lambda t, u, du, a: du - jnp.array([dpoly(t)]),
+        u0=jnp.array([poly(0.0)]), du0=jnp.array([dpoly(0.0)]),
+        tspan=(0.0, 10.0),
+    )
+    sol = daeint(prob, rtol=1e-9, atol=1e-12, max_steps=4096)
+    assert bool(sol.success)
+    assert int(sol.num_accepted) < 120  # order ramp then near-free stepping
+    assert abs(float(sol.y_final[0]) - poly(10.0)) < 1e-7
+
+
 def test_fenep_truth_against_ida_role():
     # FENE-P exact stress: native BDF replaces Sundials IDA (FENEP.jl:24-39);
     # sanity: periodic steady oscillation, bounded, correct startup slope

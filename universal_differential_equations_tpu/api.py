@@ -77,8 +77,7 @@ def solve(
         from .solvers.bdf import daeint
 
         return daeint(problem, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0,
-                      max_steps=max_steps or 4096, controller=controller,
-                      dense=dense)
+                      max_steps=max_steps or 4096, dense=dense)
     if not isinstance(problem, ODEProblem):
         raise TypeError(f"unsupported problem type {type(problem)}")
 

@@ -1,22 +1,40 @@
-"""Native BDF solver for implicit DAEs ``F(t, u, u') = 0`` (SURVEY.md C4).
+"""Native variable-order BDF solver for implicit DAEs ``F(t, u, u') = 0`` (C4).
 
 The one native-code component in the reference's stack is Sundials **IDA**
 (C library) solving the FENE-P constitutive DAE with a ``differential_vars``
 mask (``NonNewtonianFluids/FENEP.jl:35-39``).  This module is the TPU-native
-equivalent — the solver itself, not a wrapper: variable-step BDF1/2 with a
-modified-Newton corrector whose Jacobian ``∂F/∂u + (α/h)·∂F/∂u'`` comes from
-``jax.jacfwd`` and factorizes as one dense LU per step (MXU-friendly at the
-reference's problem sizes), all inside a ``lax.while_loop`` with static
-shapes.
+equivalent — the solver itself, not a wrapper: **variable-step,
+variable-order BDF (orders 1-5)**, matching IDA's method family, with a
+modified-Newton corrector whose iteration matrix ``∂F/∂u + (α₀/h)·∂F/∂u'``
+comes from ``jax.jacfwd`` and factorizes as one dense LU per step attempt
+(MXU-friendly at the reference's problem sizes), all inside a
+``lax.while_loop`` with static shapes.
+
+Method construction (all on-device, no tabulated history interpolation):
+
+* the BDF-k derivative formula on *actual* past times — weights are the
+  derivative of the Lagrange interpolant through ``{t_{n+1}, t_n, …,
+  t_{n+1-k}}`` evaluated at ``t_{n+1}`` (the fully variable-coefficient form;
+  IDA's fixed-leading-coefficient form approximates the same formula),
+* local truncation error from Newton divided differences of the corrected
+  solution against the stored history: ``LTE_q ≈ dd[t_{n+1},…,t_{n-q}] ·
+  ∏(t_{n+1}-t_j) / (q+1)`` — at constant step this reduces exactly to the
+  classical BDF-q error constant ``h^{q+1} u^{(q+1)} / (q+1)``,
+* DASSL-style order selection: error estimates at orders k-1, k, k+1 are
+  converted to step-size factors and the order with the largest permissible
+  next step wins; order is capped by available history so the startup ramps
+  1→5 one order per accepted step.
 
 IDA-parity semantics implemented:
+
 * index-1 DAEs with a boolean ``differential_vars`` mask,
 * algebraic variables excluded from the local error test (IDA's
   ``suppressalg``),
 * consistent initialization (IDA ``calcIC``): given differential ``u0``,
   solve for the algebraic components of ``u0`` and the differential
   components of ``du0`` (``initialize_dae``),
-* adaptive step control on the BDF2 predictor-corrector difference.
+* variable order 1-5 with per-step order/step adaptation (``max_order``
+  trims the family, e.g. ``max_order=2`` for the A-stable subset).
 """
 from __future__ import annotations
 
@@ -26,7 +44,6 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from ..core.controller import PIController
 from ..core.problem import DAEProblem
 from ..core.solution import DenseInterpolation, Solution
 
@@ -34,6 +51,8 @@ __all__ = ["daeint", "initialize_dae"]
 
 _NEWTON_ITERS = 8
 _NEWTON_TOL_FACTOR = 0.33
+_MAX_ORDER = 5
+_HIST = _MAX_ORDER + 1  # history slots: u_n … u_{n-5}
 
 
 def initialize_dae(problem: DAEProblem, newton_iters: int = 20):
@@ -53,7 +72,6 @@ def initialize_dae(problem: DAEProblem, newton_iters: int = 20):
         diff_mask = jnp.asarray(dv, bool)
     F = problem.f
     t0 = problem.tspan[0]
-    mask_f = diff_mask.astype(u0.dtype)
 
     def residual(z):
         u = jnp.where(diff_mask, u0, z)  # algebraic u from z
@@ -76,15 +94,54 @@ def initialize_dae(problem: DAEProblem, newton_iters: int = 20):
     return unravel_u(u0_new), unravel_u(du0_new), res_norm
 
 
+def _bdf_weights(nodes):
+    """First-derivative Lagrange weights at ``nodes[0]`` for all ``nodes``.
+
+    ``w[j] = l_j'(nodes[0])`` so that ``u'(nodes[0]) ≈ Σ w[j]·u(nodes[j])``.
+    Closed form: ``w[0] = Σ_{m≠0} 1/(x0-x_m)``;
+    ``w[j≠0] = ∏_{m≠j,0}(x0-x_m) / ∏_{m≠j}(x_j-x_m)``.
+    """
+    x0 = nodes[0]
+    n = nodes.shape[0]
+    w = []
+    w0 = jnp.zeros((), nodes.dtype)
+    for m in range(1, n):
+        w0 = w0 + 1.0 / (x0 - nodes[m])
+    for j in range(1, n):
+        num = jnp.ones((), nodes.dtype)
+        den = nodes[j] - x0
+        for m in range(1, n):
+            if m == j:
+                continue
+            num = num * (x0 - nodes[m])
+            den = den * (nodes[j] - nodes[m])
+        w.append(num / den)
+    return jnp.stack([w0] + w)
+
+
+def _lagrange_eval_weights(xs, x):
+    """Lagrange basis values at ``x`` for nodes ``xs`` (extrapolation)."""
+    n = xs.shape[0]
+    out = []
+    for j in range(n):
+        num = jnp.ones((), xs.dtype)
+        den = jnp.ones((), xs.dtype)
+        for m in range(n):
+            if m == j:
+                continue
+            num = num * (x - xs[m])
+            den = den * (xs[j] - xs[m])
+        out.append(num / den)
+    return jnp.stack(out)
+
+
 class _DAEState(NamedTuple):
-    t: jnp.ndarray
-    u: jnp.ndarray  # u_n
-    u_prev: jnp.ndarray  # u_{n-1}
-    du: jnp.ndarray  # derivative at u_n (for dense output)
+    t_hist: jnp.ndarray  # (HIST,) accepted times, slot 0 newest
+    u_hist: jnp.ndarray  # (HIST, dim)
+    du: jnp.ndarray  # derivative at the newest point (dense output, k=1 pred)
+    k: jnp.ndarray  # current BDF order (int32, 1..max_order)
+    n_pts: jnp.ndarray  # valid history points (int32, ≥1)
     dt: jnp.ndarray
-    dt_prev: jnp.ndarray
-    err_prev: jnp.ndarray
-    have_two: jnp.ndarray  # BDF2 active (False on first step)
     n_acc: jnp.ndarray
     n_rej: jnp.ndarray
     done: jnp.ndarray
@@ -99,7 +156,7 @@ def daeint(
     atol: float = 1e-8,
     dt0: Optional[float] = None,
     max_steps: int = 4096,
-    controller: Optional[PIController] = None,
+    max_order: int = _MAX_ORDER,
     initialize: bool = True,
     dense: bool = False,
     x64_host: str = "auto",
@@ -113,7 +170,9 @@ def daeint(
     session dtype (e.g. inside a jitted f32 training loop you accept looser
     tolerances).
     """
-    controller = PIController() if controller is None else controller
+    max_order = int(max_order)
+    if not 1 <= max_order <= _MAX_ORDER:
+        raise ValueError(f"max_order must be 1..{_MAX_ORDER}, got {max_order}")
     if x64_host == "auto" and jnp.zeros(()).dtype == jnp.float32:
         leaves = jax.tree.leaves((problem.u0, problem.du0, problem.args))
         traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
@@ -135,7 +194,7 @@ def daeint(
                 )
                 sol64 = daeint(
                     prob64, saveat=saveat, rtol=rtol, atol=atol, dt0=dt0,
-                    max_steps=max_steps, controller=controller,
+                    max_steps=max_steps, max_order=max_order,
                     initialize=initialize, dense=dense, x64_host="never",
                 )
                 host = jax.tree.map(
@@ -157,9 +216,8 @@ def daeint(
                 dense=None, _unravel=None,
             )
     u0_tree, du0_tree = problem.u0, problem.du0
-    res0 = None
     if initialize:
-        u0_tree, du0_tree, res0 = initialize_dae(problem)
+        u0_tree, du0_tree, _ = initialize_dae(problem)
     u0, unravel = ravel_pytree(u0_tree)
     du0, _ = ravel_pytree(du0_tree)
     dtype = u0.dtype
@@ -192,33 +250,38 @@ def daeint(
     buf_y = jnp.zeros((cap, dim), dtype).at[0].set(u0)
     buf_f = jnp.zeros((cap, dim), dtype).at[0].set(du0)
 
+    # Unused history slots get distinct fake times (never selected, but they
+    # flow through all per-order weight computations — keep them NaN-free).
+    t_hist0 = t0 - dt_init * jnp.arange(_HIST, dtype=dtype)
+    u_hist0 = jnp.tile(u0[None, :], (_HIST, 1))
+
     def attempt(s):
-        dt = jnp.minimum(s.dt, t1 - s.t)
-        clamped = s.dt >= (t1 - s.t)
-        t_new = jnp.where(clamped, t1, s.t + dt)
-        r = dt / jnp.maximum(s.dt_prev, 1e-30)
+        dt = jnp.minimum(s.dt, t1 - s.t_hist[0])
+        clamped = s.dt >= (t1 - s.t_hist[0])
+        t_new = jnp.where(clamped, t1, s.t_hist[0] + dt)
+        nodes = jnp.concatenate([t_new[None], s.t_hist])  # (HIST+1,)
 
-        # variable-step BDF2 alpha coefficients (BDF1 on the first step):
-        # du ≈ (a0·u_new + rest)/dt
-        a0_2 = (1.0 + 2.0 * r) / (1.0 + r)
-        rest_2 = (-(1.0 + r) * s.u + (r * r / (1.0 + r)) * s.u_prev)
-        a0 = jnp.where(s.have_two, a0_2, 1.0)
-        rest = jnp.where(s.have_two, rest_2, -s.u)
-
-        # predictor: quadratic Hermite extrapolation through (u_prev, u, du) —
-        # O(dt³) accurate, so the predictor-corrector difference measures the
-        # BDF2 LTE rather than the predictor's own error
-        slope_prev = (s.u - s.u_prev) / jnp.maximum(s.dt_prev, 1e-30)
-        u2nd = 2.0 * (s.du - slope_prev) / jnp.maximum(s.dt_prev, 1e-30)
-        u_pred2 = s.u + dt * s.du + 0.5 * dt * dt * u2nd
-        u_pred = jnp.where(s.have_two, u_pred2, s.u + dt * s.du)
+        # BDF-q derivative weights and predictors for every candidate order;
+        # the live order selects by take (scalars/rows — negligible cost).
+        w0s, rests, preds = [], [], []
+        for q in range(1, max_order + 1):
+            w = _bdf_weights(jnp.concatenate([t_new[None], s.t_hist[:q]]))
+            w0s.append(w[0])
+            rests.append(w[1:] @ s.u_hist[:q])
+            pw = _lagrange_eval_weights(s.t_hist[: q + 1], t_new)
+            preds.append(pw @ s.u_hist[: q + 1])
+        w0 = jnp.take(jnp.stack(w0s), s.k - 1)
+        rest = jnp.take(jnp.stack(rests), s.k - 1, axis=0)
+        u_pred = jnp.take(jnp.stack(preds), s.k - 1, axis=0)
+        # order 1: Hermite predictor using the known derivative
+        u_pred = jnp.where(s.k == 1, s.u_hist[0] + dt * s.du, u_pred)
 
         def G(v):
-            return res_flat(t_new, v, (a0 * v + rest) / dt)
+            return res_flat(t_new, v, w0 * v + rest)
 
         J = jax.jacfwd(G)(u_pred)
         lu, piv = jax.scipy.linalg.lu_factor(J)
-        scale = atol + rtol * jnp.abs(s.u)
+        scale = atol + rtol * jnp.abs(s.u_hist[0])
 
         def newton(carry, _):
             v, rate_ok = carry
@@ -233,30 +296,75 @@ def daeint(
         )
         newton_ok = newton_finite & (step_norms[-1] < _NEWTON_TOL_FACTOR)
 
-        # local error: predictor-corrector difference, algebraic suppressed
-        err_vec = (u_new - u_pred) * err_mask
-        lte_scale = jnp.where(s.have_two, 1.0 / 6.0, 0.5)
-        err = jnp.sqrt(jnp.mean((lte_scale * err_vec / scale) ** 2))
-        err = jnp.where(jnp.isfinite(err) & newton_ok, err, 1e10)
-        accept = err <= 1.0
-        order_k = jnp.where(s.have_two, 3.0, 2.0)
-        dt_next, err_prev = controller.next_dt(dt, err, s.err_prev, accept, 3)
+        # Divided-difference table over {t_new, history}: dd[L] = L-th order
+        # divided difference over nodes[0..L] after level L.
+        vals = jnp.concatenate([u_new[None], s.u_hist])  # (HIST+1, dim)
+        dd_levels = [vals[0]]  # level 0 (unused)
+        d = vals
+        for L in range(1, _HIST + 1):
+            d = (d[:-1] - d[1:]) / (nodes[: _HIST + 1 - L] - nodes[L:])[:, None]
+            dd_levels.append(d[0])
+
+        # LTE estimate at order q: dd_{q+1} · ∏_{j=0}^{q}(t_new - t_hist[j])
+        # / (q+1); valid when q+1 history points exist.
+        def err_norm_at(q):
+            prod = jnp.prod(t_new - s.t_hist[: q + 1])
+            est = dd_levels[q + 1] * prod / (q + 1.0)
+            e = jnp.sqrt(jnp.mean((est * err_mask / scale) ** 2))
+            return jnp.where(jnp.isfinite(e), e, jnp.full_like(e, 1e10))
+
+        errs_all = jnp.stack([err_norm_at(q) for q in range(1, max_order + 1)])
+        # first step: no second history point — Hermite-predictor difference
+        est0 = 0.5 * (u_new - u_pred) * err_mask
+        err_first = jnp.sqrt(jnp.mean((est0 / scale) ** 2))
+        err_first = jnp.where(jnp.isfinite(err_first), err_first, 1e10)
+        first = s.n_pts == 1
+        err_k = jnp.where(first, err_first, jnp.take(errs_all, s.k - 1))
+        err_k = jnp.where(newton_ok, err_k, jnp.full_like(err_k, 1e10))
+        accept = err_k <= 1.0
+
+        # ---- order & step selection (DASSL-style): candidate orders
+        # {k-1, k, k+1} → step factors; the largest permissible step wins.
+        qs = jnp.arange(1, max_order + 1, dtype=jnp.int32)
+        facs = 0.9 * jnp.maximum(errs_all, 1e-10) ** (-1.0 / (qs + 1.0))
+        n_pts_new = jnp.minimum(s.n_pts + accept.astype(jnp.int32), _HIST)
+        # validity: order q's divided-difference error estimate reads q+1
+        # real history points (so the startup ramps one order per accepted
+        # step), and only neighbours of the current order are eligible.
+        valid = (qs <= s.n_pts - 1) & (jnp.abs(qs - s.k) <= 1)
+        facs = jnp.where(valid, facs, -jnp.inf)
+        k_best = jnp.argmax(facs).astype(jnp.int32) + 1
+        fac_best = jnp.clip(jnp.take(facs, k_best - 1), 0.2, 2.5)
+        fac_first = jnp.clip(0.9 * jnp.maximum(err_first, 1e-10) ** (-0.5), 0.2, 2.5)
+        k_next = jnp.where(first, jnp.asarray(1, jnp.int32), k_best)
+        fac = jnp.where(first, fac_first, fac_best)
+        # rejection: shrink on the current order, drop an order if it helps
+        err_down = jnp.take(errs_all, jnp.maximum(s.k - 2, 0))
+        drop = (~first) & (s.k > 1) & (err_down < err_k)
+        k_rej = jnp.where(drop, s.k - 1, s.k)
+        fac_rej = jnp.clip(0.9 * jnp.maximum(err_k, 1e-10) ** (-1.0 / (s.k + 1.0)),
+                           0.1, 0.9)
+        k_new = jnp.where(accept, k_next, k_rej)
+        dt_next = dt * jnp.where(accept, fac, fac_rej)
         dt_next = jnp.where(clamped & accept, jnp.maximum(dt_next, s.dt), dt_next)
-        du_new = (a0 * u_new + rest) / dt
+
+        du_new = w0 * u_new + rest
+        du_new = jnp.where(first, (u_new - s.u_hist[0]) / dt, du_new)
 
         eps = jnp.finfo(dtype).eps
-        underflow = (dt_next < 16.0 * eps * jnp.maximum(jnp.abs(s.t), jnp.abs(t1))) & ~(
+        underflow = (dt_next < 16.0 * eps * jnp.maximum(jnp.abs(s.t_hist[0]),
+                                                        jnp.abs(t1))) & ~(
             accept & clamped
         )
+        t_hist_acc = jnp.concatenate([t_new[None], s.t_hist[:-1]])
+        u_hist_acc = jnp.concatenate([u_new[None], s.u_hist[:-1]])
         new = _DAEState(
-            t=jnp.where(accept, t_new, s.t),
-            u=jnp.where(accept, u_new, s.u),
-            u_prev=jnp.where(accept, s.u, s.u_prev),
+            t_hist=jnp.where(accept, t_hist_acc, s.t_hist),
+            u_hist=jnp.where(accept, u_hist_acc, s.u_hist),
             du=jnp.where(accept, du_new, s.du),
+            k=k_new,
+            n_pts=jnp.where(accept, n_pts_new, s.n_pts),
             dt=jnp.maximum(dt_next, jnp.finfo(dtype).tiny),
-            dt_prev=jnp.where(accept, dt, s.dt_prev),
-            err_prev=err_prev,
-            have_two=s.have_two | accept,
             n_acc=s.n_acc + accept.astype(jnp.int32),
             n_rej=s.n_rej + (~accept).astype(jnp.int32),
             done=s.done | (accept & clamped) | underflow,
@@ -278,9 +386,9 @@ def daeint(
         return new, bt, by, bf
 
     init = _DAEState(
-        t=t0, u=u0, u_prev=u0, du=du0, dt=dt_init, dt_prev=dt_init,
-        err_prev=jnp.asarray(1e-4, dtype),
-        have_two=jnp.asarray(False),
+        t_hist=t_hist0, u_hist=u_hist0, du=du0,
+        k=jnp.asarray(1, jnp.int32), n_pts=jnp.asarray(1, jnp.int32),
+        dt=dt_init,
         n_acc=jnp.asarray(0, jnp.int32), n_rej=jnp.asarray(0, jnp.int32),
         done=t1 <= t0, failed=jnp.asarray(False),
     )
@@ -299,8 +407,8 @@ def daeint(
     return Solution(
         ts=ts,
         ys=jax.vmap(unravel)(ys_flat),
-        t_final=s.t,
-        y_final=unravel(s.u),
+        t_final=s.t_hist[0],
+        y_final=unravel(s.u_hist[0]),
         success=~failed,
         num_accepted=s.n_acc,
         num_rejected=s.n_rej,
