@@ -178,6 +178,50 @@ def test_rkc2_order_two():
     assert order > 1.6
 
 
+def test_rock2_derivation_and_stiff_diffusion():
+    # the genuine ROCK construction (Abdulle & Medovikov 2001), derived at
+    # construction time: interval l_s ≈ 0.80·s² (vs RKC2's 0.653·s²), order
+    # conditions at machine precision, damped |R| ≤ 0.95 on the interval.
+    from universal_differential_equations_tpu.solvers.rock import _derive_rock2
+
+    for s in (6, 16):
+        *_, c, sigma, tau, l = _derive_rock2(s)
+        assert 0.74 * s * s < l < 0.85 * s * s
+        assert abs(c[s - 2] - (1.0 - 2.0 * sigma)) < 1e-12  # theory identity
+        # one linear step evaluates R(z): bounded by the damping on [-l, 0]
+        solver = ude.ROCK2(stages=s)
+        for zf in (0.999, 0.6, 0.25):
+            z = -l * zf
+            y1, *_ = solver.step(
+                lambda t, y, a: a * y, jnp.asarray(0.0), jnp.asarray([1.0]),
+                jnp.asarray([z]), jnp.asarray(1.0), jnp.asarray(z))
+            assert abs(float(y1[0])) <= 0.951
+
+    D1, D2, eig = cn.getops(64, dtype=jnp.float64)
+    u0 = cn.get_u0(64, dtype=jnp.float64)
+    prob = ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.0), (D1, D2))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    rock = ude.ROCK2.for_problem(eig * 1.1, (0.0, 1.0))
+    sol = ude.solve(prob, rock, saveat=ts, rtol=1e-6, atol=1e-8,
+                    adjoint=ude.NoAdjoint(), max_steps=4096)
+    ref = ude.solve(prob, ude.Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12,
+                    adjoint=ude.NoAdjoint(), max_steps=65536)
+    assert bool(sol.success) and bool(ref.success)
+    assert float(jnp.max(jnp.abs(sol.ys - ref.ys))) < 1e-4
+
+
+def test_rock2_order_two():
+    from universal_differential_equations_tpu.core.integrate import integrate_fixed
+
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [20, 40, 80]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None,
+                                ude.ROCK2(stages=6), n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    assert np.log2(errs[-2] / errs[-1]) > 1.6
+
+
 def test_eigen_est_power_iteration():
     D1, D2, eig = cn.getops(48, dtype=jnp.float64)
     est = float(cn.eigen_est(D2))
