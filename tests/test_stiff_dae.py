@@ -57,6 +57,40 @@ def test_rosenbrock_differentiable():
     assert abs(g + np.exp(-0.5)) < 1e-4
 
 
+def test_sdirk3_order_three_and_robertson():
+    from universal_differential_equations_tpu.solvers.sdirk import SDIRK3, _G
+
+    # derived gamma is the exact root of the L-stability cubic
+    assert abs(_G**3 - 3 * _G**2 + 1.5 * _G - 1.0 / 6.0) < 1e-15
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [10, 20, 40]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None, SDIRK3(), n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    assert np.log2(errs[-2] / errs[-1]) > 2.6  # third order
+
+    prob = ude.ODEProblem(_rober_rhs, jnp.array([1.0, 0.0, 0.0]), (0.0, 1e4))
+    sol = ude.solve(prob, SDIRK3(), rtol=1e-6, atol=1e-10,
+                    adjoint=ude.NoAdjoint(), max_steps=4096)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), _ROBER_1E4, rtol=1e-4)
+
+
+def test_sdirk3_differentiable():
+    from universal_differential_equations_tpu.solvers.sdirk import SDIRK3
+
+    def loss(k1):
+        def rhs(t, y, a):
+            return jnp.array([-a * y[0], a * y[0] - 1e3 * y[1]])
+        prob = ude.ODEProblem(rhs, jnp.array([1.0, 0.0]), (0.0, 1.0), k1)
+        sol = ude.solve(prob, SDIRK3(), rtol=1e-7, atol=1e-9,
+                        adjoint=ude.DiscreteAdjoint(), max_steps=256)
+        return sol.ys[-1, 0]
+
+    g = float(jax.grad(loss)(jnp.asarray(0.5)))
+    assert abs(g + np.exp(-0.5)) < 1e-4
+
+
 def test_dae_decay_implicit_form():
     prob = ude.DAEProblem(f=lambda t, u, du, a: du + u,
                           u0=jnp.array([1.0]), du0=jnp.array([-1.0]),

@@ -27,6 +27,7 @@ from .solvers.runge_kutta import Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
 from .solvers.rkc import RKC1, RKC2
 from .solvers.rock import ROCK2
 from .solvers.rosenbrock import Rosenbrock23
+from .solvers.sdirk import SDIRK3
 from .solvers.bdf import daeint, initialize_dae
 from .solvers.sde import AdaptiveEM, EulerHeun, EulerMaruyama, sdeint
 from .adjoint.sensitivity import (
@@ -54,7 +55,7 @@ __all__ = [
     "Solution", "DenseInterpolation", "PIController",
     "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun", "RKC1", "RKC2",
     "ROCK2",
-    "Rosenbrock23", "daeint", "initialize_dae",
+    "Rosenbrock23", "SDIRK3", "daeint", "initialize_dae",
     "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
     "InterpolatingAdjoint", "BacksolveAdjoint",
