@@ -2,7 +2,7 @@
 
 Reproduction of ``Climate/NeuralPDE/npde.jl`` on TPU: ghost-node D1/D2
 operators with spectral-radius estimate feeding the stabilized stiff solver
-(the reference's ROCK4 ``eigen_est`` hook → RKC2 here), truth with the
+(the reference's ROCK4 ``eigen_est`` hook → the derived ROCK4 here), truth with the
 nonlinear flux Φ(u)=cos(sin u³ + sin cos u²), a 30→8→30 tanh network learning
 the flux inside ``D1·NN(u) + D2·u``, trained quasi-Newton-only like the
 reference's raw ``Optim.optimize`` BFGS (``npde.jl:114-118``) — here
@@ -34,9 +34,9 @@ def main(quick=False):
     D1, D2, eig = cn.getops(32)
     u0 = cn.get_u0(32)
     ts = jnp.linspace(0.0, 1.5, 30, dtype=jnp.float32)
-    rkc = ude.RKC2.for_problem(eig * 1.1, (0.0, 1.5), n_steps_hint=40)
+    rkc = ude.ROCK4.for_problem(eig * 1.1, (0.0, 1.5), n_steps_hint=40)
     print(f"operators: 30 interior points, ρ(D2)={eig:.1f}, "
-          f"RKC2 stages={rkc.stages} (reference: ROCK4 with eigen_est)")
+          f"ROCK4 stages={rkc.stages} (reference: ROCK4 with eigen_est)")
 
     # truth with Tsit5: at N=32 the stiffness is mild, and RKC's s²-amplified
     # f32 rounding cannot meet 1e-6 tolerances (it shines at coarser tols and
@@ -95,11 +95,11 @@ def main(quick=False):
     # long-horizon rollout with the stabilized solver (npde.jl:121-123)
     long = ude.solve(
         ude.ODEProblem(rhs, u0, (0.0, 10.0), (res.params, D1, D2)),
-        ude.RKC2.for_problem(eig * 1.1, (0.0, 10.0), n_steps_hint=60),
+        ude.ROCK4.for_problem(eig * 1.1, (0.0, 10.0), n_steps_hint=60),
         saveat=jnp.linspace(0.0, 10.0, 30), rtol=1e-4, atol=1e-4,
         adjoint=ude.NoAdjoint(), max_steps=8192,
     )
-    print(f"t=10 rollout with RKC2: success={bool(long.success)}, "
+    print(f"t=10 rollout with ROCK4: success={bool(long.success)}, "
           f"finite={bool(jnp.all(jnp.isfinite(long.ys)))}")
     return dict(loss=float(res.loss), adjoint_ms=per_eval * 1e3)
 

@@ -95,12 +95,12 @@ def main():
     print(f"ADAM(0.01): loss {l0:.4e} -> {res.final_loss:.4e} in {wall:.1f}s")
 
     # rollout with the stabilized solver + eigen_est, reference's ROCK4 hook
-    rkc = ude.RKC2.for_problem(eig * 1.1, tspan, n_steps_hint=60)
+    rkc = ude.ROCK4.for_problem(eig * 1.1, tspan, n_steps_hint=60)
     sol = ude.solve(ude.ODEProblem(rhs, u0, tspan, res.params), rkc,
                     saveat=ts, rtol=1e-3, atol=1e-4,
                     adjoint=ude.NoAdjoint(), max_steps=8192)
     rel = float(jnp.linalg.norm(sol.ys - data) / jnp.linalg.norm(data))
-    print(f"RKC2 rollout (stages={rkc.stages}): success={bool(sol.success)}, "
+    print(f"ROCK4 rollout (stages={rkc.stages}): success={bool(sol.success)}, "
           f"rel-L2 vs data = {rel:.4f}")
 
     if not args.quick:

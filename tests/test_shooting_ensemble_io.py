@@ -210,6 +210,52 @@ def test_rock2_derivation_and_stiff_diffusion():
     assert float(jnp.max(jnp.abs(sol.ys - ref.ys))) < 1e-4
 
 
+def test_rock4_order_four_and_derivation():
+    # the composite (internal recurrence + derived 4-stage finishing) must be
+    # a genuine 4th-order method with the published ROCK4 stability interval
+    from universal_differential_equations_tpu.core.integrate import integrate_fixed
+    from universal_differential_equations_tpu.solvers.rock import _derive_rock4
+
+    for s in (9, 20):
+        *_, l = _derive_rock4(s)
+        assert 0.28 * s * s < l < 0.37 * s * s  # ROCK4 theory: -> 0.35 s^2
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [10, 20, 40]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None,
+                                ude.ROCK4(stages=9), n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    assert np.log2(errs[-2] / errs[-1]) > 3.5  # fourth order
+
+
+def test_rock4_tolerance_proportional_and_beats_rock2():
+    # stiff heat equation: error must track rtol (live embedded estimate) and
+    # the 4th-order method must use far fewer RHS evals at tight tolerance
+    n = 64
+    dx = 1.0 / n
+    x = jnp.arange(n) * dx
+    u0 = jnp.sin(2 * jnp.pi * x) + 0.5 * jnp.sin(6 * jnp.pi * x)
+    heat = lambda t, u, a: (jnp.roll(u, 1) - 2 * u + jnp.roll(u, -1)) / dx**2
+    rho = 4.0 / dx**2
+    prob = ude.ODEProblem(heat, u0, (0.0, 0.1))
+    lam1 = (2 - 2 * np.cos(2 * np.pi / n)) / dx**2
+    lam3 = (2 - 2 * np.cos(6 * np.pi / n)) / dx**2
+    exact = (jnp.exp(-lam1 * 0.1) * jnp.sin(2 * jnp.pi * x)
+             + 0.5 * jnp.exp(-lam3 * 0.1) * jnp.sin(6 * jnp.pi * x))
+    errs, nfes = [], []
+    for rt in (1e-6, 1e-8):
+        sv = ude.ROCK4.for_problem(rho, (0.0, 0.1), 20)
+        s = ude.solve(prob, sv, rtol=rt, atol=rt * 1e-2,
+                      adjoint=ude.NoAdjoint(), max_steps=8192)
+        assert bool(s.success)
+        errs.append(float(jnp.abs(s.y_final - exact).max()))
+        nfes.append(int(s.num_rhs_evals))
+    assert errs[1] < errs[0] * 1e-1  # error follows the tolerance
+    s2 = ude.solve(prob, ude.ROCK2.for_problem(rho, (0.0, 0.1), 20),
+                   rtol=1e-8, atol=1e-10, adjoint=ude.NoAdjoint(), max_steps=8192)
+    assert nfes[1] * 3 < int(s2.num_rhs_evals)  # 4th order pays at tight tol
+
+
 def test_rock2_order_two():
     from universal_differential_equations_tpu.core.integrate import integrate_fixed
 

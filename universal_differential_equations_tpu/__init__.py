@@ -25,7 +25,7 @@ from .core.solution import DenseInterpolation, Solution
 from .core.controller import PIController
 from .solvers.runge_kutta import Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
 from .solvers.rkc import RKC1, RKC2
-from .solvers.rock import ROCK2
+from .solvers.rock import ROCK2, ROCK4
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.sdirk import SDIRK3
 from .solvers.bdf import daeint, initialize_dae
@@ -54,7 +54,7 @@ __all__ = [
     "ODEProblem", "SDEProblem", "DAEProblem",
     "Solution", "DenseInterpolation", "PIController",
     "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun", "RKC1", "RKC2",
-    "ROCK2",
+    "ROCK2", "ROCK4",
     "Rosenbrock23", "SDIRK3", "daeint", "initialize_dae",
     "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",

@@ -1,6 +1,6 @@
 from .runge_kutta import AbstractERK, Bosh3, Dopri5, Euler, Heun, Tsit5, Vern7
 from .rkc import RKC1, RKC2
-from .rock import ROCK2
+from .rock import ROCK2, ROCK4
 from .rosenbrock import Rosenbrock23
 from .sdirk import SDIRK3
 from .bdf import daeint, initialize_dae
