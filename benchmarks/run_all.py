@@ -1,0 +1,160 @@
+"""Consolidated benchmark harness: reproduce SURVEY.md §6's baseline table.
+
+Runs every measurable performance row from the reference's committed numbers
+(`BASELINE.md`) on the local accelerator and prints a markdown table plus one
+JSON line per row: {"metric", "value", "unit", "baseline", "vs_baseline"}.
+
+Rows (reference evidence in parentheses):
+
+1. Fisher-KPP Fourier-reaction UPDE, train to loss < 0.01
+   (Fisher-KPP-CNN-Fourier.jl:305-329 — 236.8 s CPU mean of 5)
+2. Fisher-KPP small-MLP reaction, same criterion
+   (Fisher-KPP-CNN-Small.jl:343-368 — 2508 s CPU mean, some runs diverge)
+3. Climate neural-PDE adjoint loss+gradient evaluation
+   (Climate/NeuralPDE/timing.txt — 0.879 s)
+4. 100-D HJB deep-BSDE accuracy contract rel-L2 < 0.2
+   (highdim_pde/lambaem.jl:36-48)
+5. LV recovery-study throughput, ms per full train+SINDy recovery
+   (run_loops.jl 500 sequential runs; no single-run time committed — the
+   vs_baseline column for this row is throughput vs. one-recovery-per-20s,
+   a conservative reading of the reference's loop on its hardware)
+
+Usage: python benchmarks/run_all.py [--rows 1,2,3,4,5] [--quick]
+"""
+import argparse
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import jax
+import jax.numpy as jnp
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+
+def _load_example(rel):
+    path = ROOT / rel
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def row_fisher(variant, baseline, quick):
+    fk_ex = _load_example("examples/fisher_kpp/fisher_kpp.py")
+    from universal_differential_equations_tpu.models import fisher_kpp as fk
+
+    ts, data = fk.generate_data()
+    walls, losses = [], []
+    for seed in range(2 if quick else 4):
+        _, final, wall = fk_ex.train_once(seed, variant, ts, data, quick=quick)
+        walls.append(wall)
+        losses.append(final)
+    walls = sorted(walls)[: max(1, len(walls) - 1)]  # drop compile outlier
+    value = walls[len(walls) // 2]
+    assert all(l < 0.01 for l in losses), f"convergence contract broken: {losses}"
+    return dict(metric=f"fisherkpp_{variant}_train_to_loss_0.01", value=round(value, 2),
+                unit="s", baseline=baseline, vs_baseline=round(baseline / value, 1))
+
+
+def row_climate_adjoint(quick):
+    from universal_differential_equations_tpu.models import climate_npde as cn
+
+    D1, D2, eig = cn.getops(32)
+    u0 = cn.get_u0(32)
+    ts = jnp.linspace(0.0, 1.5, 30, dtype=jnp.float32)
+    truth = ude.solve(ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.5), (D1, D2)),
+                      ude.Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
+                      adjoint=ude.NoAdjoint(), max_steps=4096)
+    data = truth.ys
+    rhs, params0, _ = cn.make_neural_rhs(jax.random.PRNGKey(0), n=30)
+
+    def loss(p):
+        sol = ude.solve(ude.ODEProblem(rhs, u0, (0.0, 1.5), (p, D1, D2)), ude.Tsit5(),
+                        saveat=ts, rtol=1e-4, atol=1e-6,
+                        adjoint=ude.InterpolatingAdjoint(), max_steps=512)
+        return jnp.mean((sol.ys - data) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+    jax.block_until_ready(vg(params0)[0])  # compile
+    reps = 5 if quick else 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        l, g = vg(params0)
+    jax.block_until_ready(l)
+    value = (time.perf_counter() - t0) / reps
+    return dict(metric="climate_adjoint_loss_grad", value=round(value, 4),
+                unit="s", baseline=0.879, vs_baseline=round(0.879 / value, 1))
+
+
+def row_hjb(quick):
+    from universal_differential_equations_tpu.deepbsde import (
+        NNPDENS, TerminalPDEProblem, mc_analytical_hjb, solve_terminal_pde)
+    from universal_differential_equations_tpu.nn import MLP
+
+    d, lam = 100, 1.0
+    x0 = jnp.zeros(d, jnp.float32)
+    g = lambda x: jnp.log(0.5 + 0.5 * jnp.sum(x * x))
+    f = lambda t, x, u, z: -lam * jnp.sum(z * z)
+    prob = TerminalPDEProblem(g, f, lambda t, x: jnp.zeros_like(x),
+                              lambda t, x: jnp.sqrt(2.0), x0, (0.0, 1.0))
+    hls = d + 10
+    alg = NNPDENS(u0_net=MLP([d, hls, hls, 1], activation="relu"),
+                  grad_net=MLP([d + 1, hls, hls, hls, d], activation="relu"))
+    t0 = time.time()
+    res = solve_terminal_pde(prob, alg, jax.random.PRNGKey(0), trajectories=100,
+                             n_steps=20, maxiters=1400 if quick else 2500,
+                             learning_rate=0.03, pabstol=1e-2)
+    wall = time.time() - t0
+    analytical = float(mc_analytical_hjb(g, x0, 1.0, lam, jax.random.PRNGKey(7)))
+    rel = abs(float(res.u0) - analytical) / abs(float(res.u0))
+    assert rel < 0.2, f"HJB accuracy contract broken: rel-L2 {rel}"
+    return dict(metric="hjb100d_rel_l2", value=round(rel, 4), unit="rel-L2",
+                baseline=0.2, vs_baseline=round(0.2 / max(rel, 1e-9), 1),
+                extra=dict(train_wall_s=round(wall, 1)))
+
+
+def row_lv_throughput(quick):
+    rl = _load_example("examples/lotka_volterra/run_loops.py")
+    t0 = time.time()
+    out = rl.main(runs_per_level=4 if quick else 20)
+    n_runs = (4 if quick else 20) * 5
+    per = out["wall"] / n_runs * 1e3
+    return dict(metric="lv_recovery_ms_per_run", value=round(per, 0), unit="ms",
+                baseline=20000.0, vs_baseline=round(20000.0 / per, 1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default="1,2,3,4,5")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    rows = [int(r) for r in args.rows.split(",")]
+    results = []
+    runners = {
+        1: lambda: row_fisher("fourier", 236.8, args.quick),
+        2: lambda: row_fisher("small", 2508.0, args.quick),
+        3: lambda: row_climate_adjoint(args.quick),
+        4: lambda: row_hjb(args.quick),
+        5: lambda: row_lv_throughput(args.quick),
+    }
+    for r in rows:
+        res = runners[r]()
+        results.append(res)
+        print(json.dumps(res))
+    print("\n| metric | ours | reference | vs baseline |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(f"| {r['metric']} | {r['value']} {r['unit']} | "
+              f"{r['baseline']} | {r['vs_baseline']}x |")
+
+
+if __name__ == "__main__":
+    main()
