@@ -129,3 +129,30 @@ def test_deep_bsde_hjb_small():
                                          n_samples=10**5, batch=10**4))
     rel = abs(float(res.u0) - analytical) / abs(float(res.u0))
     assert rel < 0.2, f"rel {rel}, u0 {float(res.u0)} vs {analytical}"
+
+
+def test_deep_bsde_sharded_matches_unsharded():
+    # trajectory batch sharded over the 8-device virtual mesh (SURVEY §2.4:
+    # trajectory batching is THE distributed axis); same key → placement must
+    # not change the training trajectory
+    from universal_differential_equations_tpu.parallel import ensemble_mesh
+
+    d, lam = 3, 1.0
+    x0 = jnp.zeros(d, jnp.float32)
+    g = lambda x: jnp.log(0.5 + 0.5 * jnp.sum(x * x))
+    prob = TerminalPDEProblem(
+        g=g, f=lambda t, x, u, z: -lam * jnp.sum(z * z),
+        mu=lambda t, x: jnp.zeros_like(x), sigma=lambda t, x: jnp.sqrt(2.0),
+        x0=x0, tspan=(0.0, 1.0),
+    )
+    alg = NNPDENS(u0_net=MLP([d, 8, 1], activation="relu"),
+                  grad_net=MLP([d + 1, 8, d], activation="relu"))
+    mesh = ensemble_mesh()
+    assert len(mesh.devices.ravel()) == 8  # conftest forces 8 virtual devices
+    kw = dict(trajectories=32, n_steps=8, maxiters=25, learning_rate=0.03,
+              pabstol=0.0)
+    res_ref = solve_terminal_pde(prob, alg, jax.random.PRNGKey(3), **kw)
+    res_sh = solve_terminal_pde(prob, alg, jax.random.PRNGKey(3), mesh=mesh, **kw)
+    np.testing.assert_allclose(np.asarray(res_sh.losses),
+                               np.asarray(res_ref.losses), rtol=1e-5)
+    np.testing.assert_allclose(float(res_sh.u0), float(res_ref.u0), rtol=1e-5)

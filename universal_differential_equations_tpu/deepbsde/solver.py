@@ -81,12 +81,21 @@ def solve_terminal_pde(
     pabstol: float = 1e-2,
     verbose: bool = False,
     dtype=jnp.float32,
+    mesh=None,
 ) -> BSDEResult:
     """Train the deep-BSDE networks; returns the learned ``u(0, x0)``.
 
     Mirrors ``solve(prob, NNPDENS(u0, σᵀ∇u, opt), trajectories=m, maxiters,
     pabstol)`` (``lambaem.jl:33-34``): ADAM on the terminal mean-square error
     with early stop when the loss drops below ``pabstol``.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` (e.g.
+    ``parallel.ensemble_mesh()``). The trajectory batch is sharded over the
+    mesh's first axis and parameters replicate; XLA inserts the gradient
+    ``psum`` over ICI (SURVEY.md §2.4 — trajectory batching is the
+    distributed axis). Results are bitwise-identical to the unsharded run
+    (the Brownian draws don't depend on placement). ``trajectories`` should
+    be a multiple of the mesh size.
     """
     x0 = jnp.asarray(problem.x0, dtype)
     d = x0.shape[0]
@@ -120,6 +129,15 @@ def solve_terminal_pde(
         (x_T, u_T), _ = jax.lax.scan(body, (x0, u), (ts_grid, dw_path))
         return u_T, problem.g(x_T)
 
+    dw_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        dw_sharding = NamedSharding(mesh, PartitionSpec(axis))
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, replicated)
+
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
 
@@ -130,6 +148,8 @@ def solve_terminal_pde(
     @jax.jit
     def train_step(params, opt_state, iter_key):
         dws = jax.random.normal(iter_key, (trajectories, n_steps, d), dtype) * sqrt_dt
+        if dw_sharding is not None:
+            dws = jax.lax.with_sharding_constraint(dws, dw_sharding)
         loss, grads = jax.value_and_grad(loss_fn)(params, dws)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

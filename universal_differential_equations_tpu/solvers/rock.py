@@ -561,5 +561,5 @@ class ROCK4:
         y_err = dt * (n_emb[0] * f_last + n_emb[1] * F1 + n_emb[2] * F2
                       + n_emb[3] * F3 + n_emb[4] * F4)
         f_end = f(t + dt, y1, args)
-        nfe = s + 1  # (m-1) recurrence + 4 finishing + f_end
+        nfe = s  # (m-1) recurrence evals (g_1 reuses f0) + 4 finishing + f_end
         return y1, y_err, f_end, nfe
