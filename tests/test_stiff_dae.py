@@ -91,6 +91,89 @@ def test_sdirk3_differentiable():
     assert abs(g + np.exp(-0.5)) < 1e-4
 
 
+def test_esdirk_order_conditions_exact():
+    # Kvaerno3 (derived at import) and SDIRK4 (HW rationals) must satisfy
+    # the rooted-tree order conditions to machine precision, and both must
+    # be L-stable: R(z) -> 0 as z -> -inf for the stiffly-accurate row.
+    from universal_differential_equations_tpu.solvers import esdirk as es
+
+    for A_t, b_t, bh_t, order in [
+        (es._K3_A, es._K3_B, es._K3_BH, 3),
+        (es._S4_A, es._S4_B, es._S4_BH, 4),
+    ]:
+        A = np.array(A_t)
+        b = np.array(b_t)
+        bh = np.array(bh_t)
+        c = A.sum(axis=1)
+        Ac = A @ c
+        conds = [
+            (b.sum(), 1.0), (b @ c, 0.5), (b @ c**2, 1 / 3), (b @ Ac, 1 / 6),
+        ]
+        if order >= 4:
+            conds += [
+                (b @ c**3, 0.25), (b @ (c * Ac), 0.125),
+                (b @ (A @ c**2), 1 / 12), (b @ (A @ Ac), 1 / 24),
+            ]
+        for got, want in conds:
+            assert abs(got - want) < 1e-13
+        # embedded companion is one order lower but at least order 2
+        assert abs(bh.sum() - 1.0) < 1e-13 and abs(bh @ c - 0.5) < 1e-13
+        # L-stability at the stiff limit
+        z = -1e9
+        R = 1.0 + z * b @ np.linalg.solve(np.eye(len(b)) - z * A, np.ones(len(b)))
+        assert abs(R) < 1e-6
+
+
+@pytest.mark.parametrize("solver_name,rate", [("Kvaerno3", 2.6), ("SDIRK4", 3.5)])
+def test_esdirk_convergence_order(solver_name, rate):
+    solver = getattr(ude, solver_name)()
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [10, 20, 40]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None, solver, n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    assert np.log2(errs[-2] / errs[-1]) > rate
+
+
+@pytest.mark.parametrize("solver_name", ["Kvaerno3", "SDIRK4"])
+def test_esdirk_robertson(solver_name):
+    solver = getattr(ude, solver_name)()
+    prob = ude.ODEProblem(_rober_rhs, jnp.array([1.0, 0.0, 0.0]), (0.0, 1e4))
+    sol = ude.solve(prob, solver, rtol=1e-6, atol=1e-10,
+                    adjoint=ude.NoAdjoint(), max_steps=4096)
+    assert bool(sol.success)
+    np.testing.assert_allclose(np.asarray(sol.y_final), _ROBER_1E4, rtol=1e-4)
+    assert abs(float(sol.y_final.sum()) - 1.0) < 1e-9  # mass conservation
+
+
+def test_kvaerno3_differentiable():
+    def loss(k1):
+        def rhs(t, y, a):
+            return jnp.array([-a * y[0], a * y[0] - 1e3 * y[1]])
+        prob = ude.ODEProblem(rhs, jnp.array([1.0, 0.0]), (0.0, 1.0), k1)
+        sol = ude.solve(prob, ude.Kvaerno3(), rtol=1e-7, atol=1e-9,
+                        adjoint=ude.DiscreteAdjoint(), max_steps=256)
+        return sol.ys[-1, 0]
+
+    g = float(jax.grad(loss)(jnp.asarray(0.5)))
+    assert abs(g + np.exp(-0.5)) < 1e-4
+
+
+def test_sdirk4_high_order_pays_off():
+    # at tight tolerance the order-4 method needs far fewer accepted steps
+    # than the order-2 Rosenbrock on a smooth nonlinear problem
+    f = lambda t, y, args: -(y ** 3) + jnp.sin(t)
+    prob = ude.ODEProblem(f, jnp.array([1.0]), (0.0, 10.0))
+    s4 = ude.solve(prob, ude.SDIRK4(), rtol=1e-8, atol=1e-10,
+                   adjoint=ude.NoAdjoint(), max_steps=4096)
+    s2 = ude.solve(prob, Rosenbrock23(), rtol=1e-8, atol=1e-10,
+                   adjoint=ude.NoAdjoint(), max_steps=4096)
+    assert bool(s4.success) and bool(s2.success)
+    assert int(s4.num_accepted) < 0.4 * int(s2.num_accepted)
+    np.testing.assert_allclose(float(s4.y_final[0]), float(s2.y_final[0]),
+                               rtol=1e-5)
+
+
 def test_dae_decay_implicit_form():
     prob = ude.DAEProblem(f=lambda t, u, du, a: du + u,
                           u0=jnp.array([1.0]), du0=jnp.array([-1.0]),

@@ -28,6 +28,7 @@ from .solvers.rkc import RKC1, RKC2
 from .solvers.rock import ROCK2, ROCK4
 from .solvers.rosenbrock import Rosenbrock23
 from .solvers.sdirk import SDIRK3
+from .solvers.esdirk import Kvaerno3, SDIRK4
 from .solvers.bdf import daeint, initialize_dae
 from .solvers.sde import AdaptiveEM, EulerHeun, EulerMaruyama, sdeint
 from .adjoint.sensitivity import (
@@ -55,7 +56,7 @@ __all__ = [
     "Solution", "DenseInterpolation", "PIController",
     "Tsit5", "Vern7", "Dopri5", "Bosh3", "Euler", "Heun", "RKC1", "RKC2",
     "ROCK2", "ROCK4",
-    "Rosenbrock23", "SDIRK3", "daeint", "initialize_dae",
+    "Rosenbrock23", "SDIRK3", "Kvaerno3", "SDIRK4", "daeint", "initialize_dae",
     "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
     "InterpolatingAdjoint", "BacksolveAdjoint",
