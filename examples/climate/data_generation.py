@@ -34,6 +34,12 @@ from universal_differential_equations_tpu.models.climate_datagen import (  # noq
 
 import jax  # noqa: E402
 
+from universal_differential_equations_tpu.utils import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -81,7 +87,10 @@ def main():
 
     out_dir = os.path.join(os.path.dirname(__file__), "data")
     os.makedirs(out_dir, exist_ok=True)
-    out = os.path.join(out_dir, "rt_horizontal_averages.npz")
+    # --quick smoke runs must not clobber the committed training dataset
+    out_name = ("rt_horizontal_averages_quick.npz" if args.quick
+                else "rt_horizontal_averages.npz")
+    out = os.path.join(out_dir, out_name)
     np.savez(out, t=ts, z=z, b=b)
     print(f"wrote {out} (b shape {b.shape})")
     print("OK")

@@ -30,7 +30,7 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     D1, D2, eig = cn.getops(32)
     u0 = cn.get_u0(32)
     ts = jnp.linspace(0.0, 1.5, 30, dtype=jnp.float32)
@@ -101,10 +101,43 @@ def main(quick=False):
     )
     print(f"t=10 rollout with ROCK4: success={bool(long.success)}, "
           f"finite={bool(jnp.all(jnp.isfinite(long.ys)))}")
+
+    if plot:
+        # npde.jl figure analogues: learned flux vs Φ(u) over the visited
+        # state range, and the stabilized long rollout as a z-t field
+        from universal_differential_equations_tpu import viz
+        import numpy as np
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        u_lo, u_hi = float(data.min()), float(data.max())
+        uu = jnp.linspace(u_lo, u_hi, 200, dtype=jnp.float32)
+        # pointwise truth Φ vs the network evaluated on constant profiles
+        phi_true = np.asarray(jnp.cos(jnp.sin(uu**3) + jnp.sin(jnp.cos(uu**2))))
+        phi_net = np.asarray(jax.vmap(
+            lambda v: net.apply(res.params, jnp.full((30,), v, jnp.float32))[15]
+        )(uu))
+        # the flux enters through D1 only: an additive constant is unobservable
+        # (D1·(Φ+c·1) = D1·Φ for the interior rows) — compare mean-centered
+        viz.save(viz.plot_function_comparison(
+            np.asarray(uu), phi_net - phi_net.mean(),
+            phi_true - phi_true.mean(),
+            labels=("NN flux", "Φ(u) truth"), xlabel="u",
+            ylabel="flux (mean-centered)",
+            title="learned nonlinear flux (up to the D1-null constant)"),
+            outdir / "npde_flux.pdf")
+        viz.save(viz.plot_field(
+            np.asarray(long.ys).T, (0.0, 10.0, 0.0, 1.0),
+            title="neural-PDE rollout to t=10 (ROCK4)", ylabel="z",
+            cbar_label="u"), outdir / "npde_rollout.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(loss=float(res.loss), adjoint_ms=per_eval * 1e3)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write npde.jl figure analogues")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

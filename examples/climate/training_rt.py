@@ -39,6 +39,11 @@ from universal_differential_equations_tpu.models.climate_datagen import (  # noq
     coarse_grain,
     rayleigh_taylor_3d,
 )
+from universal_differential_equations_tpu.utils import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache()
 
 
 def load_or_generate(quick: bool):
@@ -56,6 +61,8 @@ def load_or_generate(quick: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="write rollout/profile figure analogues")
     args = ap.parse_args()
 
     t, z, b = load_or_generate(args.quick)
@@ -81,7 +88,10 @@ def main():
         pred = jax.vmap(lambda b0: prop(params, b0))(bn)
         return jnp.mean((pred - bn1) ** 2)
 
-    ckpt_path = os.path.join(os.path.dirname(__file__), "data", "dbdt_nn.npz")
+    # --quick runs train a smaller model on coarser data: keep them from
+    # overwriting the committed full-resolution checkpoint
+    ckpt_name = "dbdt_nn_quick.npz" if args.quick else "dbdt_nn.npz"
+    ckpt_path = os.path.join(os.path.dirname(__file__), "data", ckpt_name)
     os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
     ckpt = BestCheckpoint(ckpt_path)
     sched = reduce_on_plateau(1e-3, factor=0.1, patience=2)
@@ -117,6 +127,37 @@ def main():
     if not args.quick:
         assert ckpt.best < 2e-4, f"train loss {ckpt.best:.3e} too high"
         assert rel < 0.25, f"rollout rel-L2 {rel:.3f} too high"
+
+    if args.plot:
+        # the reference renders rollout-vs-data MP4s (:186-202); the static
+        # analogue: horizontal-average buoyancy fields and profile snapshots
+        from universal_differential_equations_tpu import viz
+
+        outdir = os.path.join(os.path.dirname(__file__), "plots")
+        extent = (0.0, float(t_u[n_roll]), float(z[0]), float(z[-1]))
+        viz.save(viz.plot_field(b_cs[: n_roll + 1].T, extent,
+                                title="b̄(z, t) data (coarse-grained LES)",
+                                ylabel="z", cbar_label="b̄"),
+                 os.path.join(outdir, "rt_data.pdf"))
+        viz.save(viz.plot_field(roll.T, extent,
+                                title="b̄(z, t) neural-ODE free rollout",
+                                ylabel="z", cbar_label="b̄"),
+                 os.path.join(outdir, "rt_rollout.pdf"))
+        zc = np.asarray(coarse_grain(z[None, :], z.shape[0] // cr))[0]
+        fig, ax = viz.new_figure(4.2, 3.4)
+        for j, frac in enumerate((0.0, 0.33, 0.66, 1.0)):
+            i = int(frac * n_roll)
+            ax.plot(b_cs[i], zc, color=viz.SERIES[j], linewidth=1.8,
+                    alpha=0.35)
+            ax.plot(roll[i], zc, color=viz.SERIES[j], linewidth=1.1,
+                    linestyle="--", label=f"t = {t_u[i]:.1f}")
+        ax.set_xlabel("b̄")
+        ax.set_ylabel("z")
+        ax.set_title("profiles: data (solid) vs rollout (dashed)")
+        ax.legend(fontsize=8)
+        viz.save(fig, os.path.join(outdir, "rt_profiles.pdf"))
+        print(f"plots written to {outdir}")
+
     print("OK")
 
 

@@ -81,7 +81,45 @@ def train_once(seed, variant, ts, data, quick=False):
     return params, final, wall
 
 
-def main(variant="fourier", runs=1, quick=False):
+def write_plots(variant, ts, data, params):
+    """Figure analogues of the reference's live training dashboard
+    (`Fisher-KPP-CNN.jl:163-233`): truth vs learned space-time fields, their
+    difference, and the learned reaction term vs the logistic truth."""
+    from universal_differential_equations_tpu import viz
+
+    outdir = Path(__file__).resolve().parent / "plots"
+    rhs, _ = fk.make_model(jax.random.PRNGKey(0), variant)
+    sol = ude.solve(ude.ODEProblem(rhs, data[0], (0.0, fk.T_END), params),
+                    ude.Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
+                    adjoint=ude.NoAdjoint(), max_steps=512)
+    pred = np.asarray(sol.ys)
+    extent = (0.0, fk.T_END, 0.0, fk.NX * fk.DX)
+    viz.save(viz.plot_field(np.asarray(data).T, extent, title="ρ(x, t) truth",
+                            cbar_label="ρ"), outdir / f"{variant}_truth.pdf")
+    viz.save(viz.plot_field(pred.T, extent, title="ρ(x, t) learned UPDE",
+                            cbar_label="ρ"), outdir / f"{variant}_learned.pdf")
+    viz.save(viz.plot_field(pred.T - np.asarray(data).T, extent,
+                            title="learned − truth", cbar_label="Δρ",
+                            diverging=True), outdir / f"{variant}_error.pdf")
+
+    # reaction term via a constant field: rhs(c·1) = r(c) + D0·Σw·c exactly
+    u_grid = np.linspace(0.0, 1.0, 101)
+    wsum = float(np.asarray(params["w"]).sum())
+    d0 = float(np.asarray(params["D0"]))
+    learned_r = np.array([
+        float(rhs(0.0, jnp.full((fk.NX,), u, data.dtype), params)[0])
+        - d0 * wsum * u
+        for u in u_grid
+    ])
+    viz.save(viz.plot_function_comparison(
+        u_grid, learned_r, fk.R_TRUE * u_grid * (1.0 - u_grid),
+        labels=("learned reaction", "r·u(1−u)"), xlabel="ρ",
+        title=f"reaction term ({variant})"),
+        outdir / f"{variant}_reaction.pdf")
+    print(f"plots written to {outdir}")
+
+
+def main(variant="fourier", runs=1, quick=False, plot=False):
     ts, data = fk.generate_data()
     print(f"data: {data.shape} snapshots (Nx={fk.NX})")
 
@@ -98,6 +136,8 @@ def main(variant="fourier", runs=1, quick=False):
           f"over {runs} runs; reference CPU baseline: {BASELINES.get(variant)}s")
     if BASELINES.get(variant):
         print(f"speedup vs reference: {BASELINES[variant]/np.mean(walls):.1f}x")
+    if plot:
+        write_plots(variant, ts, data, params)
     return dict(walls=walls, losses=losses)
 
 
@@ -107,5 +147,7 @@ if __name__ == "__main__":
                     choices=["mlp", "small", "fourier"])
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="write the training-dashboard figure analogues")
     a = ap.parse_args()
-    main(variant=a.variant, runs=a.runs, quick=a.quick)
+    main(variant=a.variant, runs=a.runs, quick=a.quick, plot=a.plot)

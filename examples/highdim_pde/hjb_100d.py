@@ -25,9 +25,12 @@ from universal_differential_equations_tpu.deepbsde import (
     solve_terminal_pde,
 )
 from universal_differential_equations_tpu.nn import MLP
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     d = 100
     lam = 1.0
     x0 = jnp.zeros(d, jnp.float32)
@@ -62,10 +65,31 @@ def main(quick=False):
     print(f"training: {len(res.losses)} iters in {wall:.1f}s, "
           f"final loss {float(res.losses[-1]):.4f}, converged={res.converged}")
     assert rel_l2 < 0.2, "HJB accuracy assertion failed"
+
+    if plot:
+        # lambaem.jl figure analogue: terminal-condition loss over training,
+        # annotated with the final u(0,0) vs the analytic MC value
+        from pathlib import Path
+
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        fig = viz.plot_loss_history(
+            res.losses, title="deep-BSDE terminal loss (100-D HJB)")
+        ax = fig.axes[0]
+        ax.annotate(f"u(0,0) = {u0:.3f}   analytic MC = {analytical:.3f}   "
+                    f"rel L2 = {rel_l2:.4f}",
+                    (0.02, 0.04), xycoords="axes fraction", fontsize=8)
+        viz.save(fig, outdir / "hjb_loss.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(u0=u0, analytical=analytical, rel_l2=rel_l2, wall=wall)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write the training-loss figure analogue")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

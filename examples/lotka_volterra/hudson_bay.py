@@ -46,7 +46,7 @@ def load_data():
     return t, X / xscale, xscale
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     t, Xn, xscale = load_data()
     print(f"data: {Xn.shape[0]} yearly measurements, t ∈ [0, {float(t[-1])}]")
     # (t_end hoisted below: float() of closure arrays inside traced losses
@@ -165,10 +165,34 @@ def main(quick=False):
           f"finite={finite}, max amplitude {amp:.2f} (normalized units)")
     assert finite and amp < 10.0, "recovered model must stay bounded on [0, 50]"
     assert float(r3.loss) < 0.1, "UDE must fit the data (mean L2 < 0.1)"
+
+    if plot:
+        # hudson_bay.jl figure analogues: UDE fit over the 21 yearly points,
+        # and the recovered model's 50-year forecast beyond the data window
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        viz.save(viz.plot_timeseries(
+            tsample, Xh, labels=["hare (UDE)", "lynx (UDE)"], data_ts=t,
+            data=Xn, data_label="Hudson Bay data",
+            title="UDE fit to the Hudson Bay pelt record",
+            xlabel="years since 1900", ylabel="population (normalized)"),
+            outdir / "hudson_bay_fit.pdf")
+        viz.save(viz.plot_timeseries(
+            ts_long, est.ys, labels=["hare (recovered)", "lynx (recovered)"],
+            data_ts=t, data=Xn, data_label="data",
+            title="recovered model extrapolated 50 years",
+            xlabel="years since 1900", ylabel="population (normalized)",
+            train_end=t_end), outdir / "hudson_bay_extrapolation.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(fit_loss=float(rfit.loss))
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write hudson_bay.jl figure analogues")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

@@ -51,7 +51,50 @@ CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
 
 
-def main(runs_per_level=100):
+def write_plots(exact, contains, c1, c2, noise):
+    """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
+    bars (:120-126) and the recovered-coefficient spread vs the true values
+    (re-plottable from the archive without retraining, like Plotfigs.jl)."""
+    from universal_differential_equations_tpu import viz
+
+    outdir = Path(__file__).resolve().parent / "plots"
+    viz.save(viz.plot_success_rates(
+        noise, exact.mean(axis=1), counts=exact.shape[1],
+        title="exact {x·y} structural recovery"),
+        outdir / "loop_success_exact.pdf")
+    viz.save(viz.plot_success_rates(
+        noise, contains.mean(axis=1), counts=contains.shape[1],
+        title="x·y term found (dominant physics)"),
+        outdir / "loop_success_contains.pdf")
+
+    fig, ax = viz.new_figure(5.0, 3.2)
+    n_levels = len(noise)
+    per = c1.size // n_levels
+    rng = np.random.default_rng(0)
+    for lvl in range(n_levels):
+        seg1 = c1.reshape(n_levels, per)[lvl]
+        seg2 = c2.reshape(n_levels, per)[lvl]
+        keep = np.isfinite(seg1) & np.isfinite(seg2)
+        xj = lvl + rng.uniform(-0.16, 0.16, keep.sum())
+        ax.scatter(xj, seg1[keep], s=7, color=viz.SERIES[0], alpha=0.5,
+                   edgecolors="none", label="ξ(ẋ: x·y)" if lvl == 0 else None)
+        ax.scatter(xj, seg2[keep], s=7, color=viz.SERIES[1], alpha=0.5,
+                   edgecolors="none", label="ξ(ẏ: x·y)" if lvl == 0 else None)
+    for val, col in ((-float(lv.P_TRUE[1]), viz.SERIES[0]),
+                     (float(lv.P_TRUE[2]), viz.SERIES[1])):
+        ax.axhline(val, color=col, linewidth=0.9, linestyle="--", alpha=0.8)
+    ax.set_xticks(range(n_levels))
+    ax.set_xticklabels([f"{m:g}" for m in noise])
+    ax.set_xlabel("noise magnitude")
+    ax.set_ylabel("recovered x·y coefficient")
+    ax.set_ylim(-2.0, 2.0)
+    ax.set_title("recovered interaction coefficients (dashes = truth)")
+    ax.legend(fontsize=8)
+    viz.save(fig, outdir / "loop_coefficients.pdf")
+    print(f"plots written to {outdir}")
+
+
+def main(runs_per_level=100, plot=False):
     n_levels = len(NOISE_LEVELS)
     n_runs = n_levels * runs_per_level
     ts, X, _ = lv.generate_data(jax.random.PRNGKey(0), rtol=1e-7, atol=1e-9)
@@ -208,6 +251,8 @@ def main(runs_per_level=100):
               contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
               coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS))
     print(f"archived to {arch.root}/loop_study.npz")
+    if plot:
+        write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS))
     low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
     assert low_noise_rate >= 0.15, \
         f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
@@ -218,4 +263,14 @@ def main(runs_per_level=100):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs-per-level", type=int, default=100)
-    main(runs_per_level=ap.parse_args().runs_per_level)
+    ap.add_argument("--plot", action="store_true",
+                    help="write loop_evaluation.jl figure analogues")
+    ap.add_argument("--plot-only", action="store_true",
+                    help="re-plot from the saved archive without retraining")
+    args = ap.parse_args()
+    if args.plot_only:
+        with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
+            write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
+                        z["noise"])
+    else:
+        main(runs_per_level=args.runs_per_level, plot=args.plot)

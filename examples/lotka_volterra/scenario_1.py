@@ -18,6 +18,8 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--quick", action="store_true")
 _ap.add_argument("--x64", action="store_true",
                  help="run in float64 (CPU); default float32 suits TPU")
+_ap.add_argument("--plot", action="store_true",
+                 help="write the reference's figure analogues to ./plots/")
 ARGS = _ap.parse_args() if __name__ == "__main__" else _ap.parse_args([])
 
 import jax
@@ -34,9 +36,12 @@ import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu import sindy as sd
 from universal_differential_equations_tpu.models import lotka_volterra as lv
 from universal_differential_equations_tpu.train import bfgs_minimize, fit
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     key = jax.random.PRNGKey(1234)  # StableRNG(1111)-style fixed seed
     kd, kn = jax.random.split(key)
 
@@ -120,9 +125,44 @@ def main(quick=False):
     rel = err / float(jnp.max(jnp.abs(sol_truth.ys)))
     print(f"extrapolation to t=50: success={bool(sol_ex.success)}, "
           f"max abs err {err:.4f} (rel {rel:.4f})")
+
+    if plot:
+        # figure analogues of scenario_1.jl's plots (trajectory fit, missing
+        # term, losses, long-term forecast)
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        viz.save(viz.plot_timeseries(
+            ts, X_hat, labels=["x (UDE)", "y (UDE)"], data=X_noisy,
+            data_label="noisy data", title="UDE approximation of the "
+            "Lotka-Volterra data", ylabel="population"),
+            outdir / "scenario_1_fit.pdf")
+        true_inter = jax.vmap(
+            lambda u: jnp.array([-lv.P_TRUE[1] * u[0] * u[1],
+                                 lv.P_TRUE[2] * u[0] * u[1]]))(X_hat)
+        viz.save(viz.plot_function_comparison(
+            np.asarray(ts), np.asarray(nn_out), np.asarray(true_inter),
+            labels=("NN", "true"), xlabel="t",
+            title="learned missing interaction terms"),
+            outdir / "scenario_1_missing_term.pdf")
+        viz.save(viz.plot_loss_history(
+            np.asarray(res1.losses), title="ADAM stage loss"),
+            outdir / "scenario_1_loss.pdf")
+        fig = viz.plot_timeseries(
+            ts_ex, sol_truth.ys, labels=["x (truth)", "y (truth)"],
+            title="recovered model extrapolated to t = 50",
+            ylabel="population", train_end=t1f)
+        ax = fig.axes[0]
+        for i in range(2):
+            ax.plot(np.asarray(ts_ex), np.asarray(sol_ex.ys)[:, i],
+                    linestyle="--", linewidth=1.2, color=viz.SERIES[i],
+                    alpha=0.9)
+        viz.save(fig, outdir / "scenario_1_extrapolation.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(train_loss=float(res2.value), extrap_rel_err=rel,
                 equations=res_sindy.equations(), train_seconds=train_s)
 
 
 if __name__ == "__main__":
-    main(quick=ARGS.quick)
+    main(quick=ARGS.quick, plot=ARGS.plot)

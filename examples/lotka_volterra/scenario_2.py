@@ -38,7 +38,7 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     # -- data: (0, 6), saveat 0.1, 5e-3 mean-proportional noise
     key = jax.random.PRNGKey(2222)
     kd, kn, kp = jax.random.split(key, 3)
@@ -130,10 +130,39 @@ def main(quick=False):
     ]
     if not quick:
         assert "u1*u2" in got[0] and "u1*u2" in got[1], f"missing x*y: {got}"
+
+    if plot:
+        # scenario_2.jl figure analogue: full reconstruction against the
+        # dense x-measurements and the six sparse y-measurements
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        fig = viz.plot_timeseries(
+            half_ts, Xh, labels=["x (UDE)", "y (UDE)"],
+            title=f"partial observability: y seen {n_seg + 1}× "
+                  f"(learned δ = {float(p_tr['delta']):.3f}, "
+                  f"true {float(lv.P_TRUE[3]):.1f})",
+            ylabel="population")
+        ax = fig.axes[0]
+        ax.scatter(np.asarray(ts), np.asarray(Xn)[:, 0], s=9,
+                   color=viz.SERIES[0], alpha=0.5, edgecolors="none",
+                   label="x data (dense)")
+        y_t = np.asarray(ts)[np.concatenate([seg_starts,
+                                             [seg_starts[-1] + seg_len]])]
+        y_v = np.concatenate([np.asarray(y_left), [float(y_right[-1])]])
+        ax.scatter(y_t, y_v, s=40, marker="D", color=viz.SERIES[1],
+                   zorder=4, label="y data (6 points)")
+        ax.legend(fontsize=8, ncol=2)
+        viz.save(fig, outdir / "scenario_2_fit.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(delta=float(p_tr["delta"]), equations=res.equations())
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write scenario_2.jl figure analogues")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

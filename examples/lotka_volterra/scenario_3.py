@@ -33,7 +33,7 @@ import optax
 enable_compilation_cache()
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     ts, data = fk.generate_data()
     print(f"universal-PDE data: {data.shape} (Nx={fk.NX}, Float32)")
 
@@ -116,10 +116,44 @@ def main(quick=False):
     # TPU reductions are nondeterministic); the functional claim is what the
     # case study asserts
     assert ferr < 0.08, f"recovered reaction functionally wrong: {ferr}"
+
+    if plot:
+        # scenario_3.jl figure analogues: universal-PDE field fit and the
+        # recovered sparse reaction vs u(1−u) on [0, 1]
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        extent = (0.0, fk.T_END, 0.0, fk.NX * fk.DX)
+        viz.save(viz.plot_field(np.asarray(data).T, extent,
+                                title="ρ(x, t) truth", cbar_label="ρ"),
+                 outdir / "scenario_3_truth.pdf")
+        viz.save(viz.plot_field(np.asarray(sol.ys).T, extent,
+                                title="ρ(x, t) learned universal PDE",
+                                cbar_label="ρ"),
+                 outdir / "scenario_3_learned.pdf")
+        nn_react = jax.vmap(lambda u: rx.apply(p_tr["rx"], u))(ug)[:, 0]
+        fig, ax = viz.new_figure()
+        ugg = np.asarray(ug[:, 0])
+        ax.plot(ugg, ugg * (1 - ugg), color=viz.SERIES[0], linewidth=2.4,
+                alpha=0.35, label="r·u(1−u) truth")
+        ax.plot(ugg, np.asarray(nn_react), color=viz.SERIES[0], linewidth=1.3,
+                linestyle="--", label="NN reaction")
+        ax.plot(ugg, np.asarray(r_rec), color=viz.SERIES[1], linewidth=1.3,
+                linestyle=":", label="SINDy recovered")
+        ax.set_xlabel("ρ")
+        ax.set_ylabel("reaction")
+        ax.set_title("reaction recovery (scenario 3)")
+        ax.legend(fontsize=8)
+        viz.save(fig, outdir / "scenario_3_reaction.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(equations=rec.equations(), loss=best, func_err=ferr)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write scenario_3.jl figure analogues")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

@@ -23,6 +23,9 @@ import optax
 import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu.models import fenep
 from universal_differential_equations_tpu.train import fit
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 TSPAN = (0.0, 6.2831)
 OMEGAS = np.arange(1.0, 2.01, 0.2)
@@ -66,13 +69,13 @@ def make_loss(f1, f0, ts, sigmas):
     return loss, predict_sigma
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     t0 = time.time()
     ts, sigmas, ts10, sigma_test = build_data()
     print(f"DAE data generation: {time.time()-t0:.1f}s "
           f"({len(OMEGAS)} train modes + 1 test)")
 
-    results = {}
+    results, preds = {}, {}
     for tag, linear in [("neural", False), ("linear", True)]:
         f1, f0, params0 = fenep.make_surrogate(jax.random.PRNGKey(3), linear=linear)
         loss, predict_sigma = make_loss(f1, f0, ts, sigmas)
@@ -85,14 +88,40 @@ def main(quick=False):
         print(f"{tag}: train loss {res.final_loss:.2f}, "
               f"test err {test_err:.2f} ({wall:.0f}s)")
         results[tag] = test_err
+        preds[tag] = np.asarray(test_pred)
 
     assert results["neural"] < results["linear"], \
         "NN surrogate must beat the linear baseline (FENEP.jl comparison)"
     print(f"NN beats linear baseline by {results['linear']/results['neural']:.1f}x")
+
+    if plot:
+        # Plotfigs.jl analogue: held-out stress response γ̇ = 12cos(1.5t) —
+        # exact FENE-P DAE vs the NN surrogate vs the linear baseline
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        fig, ax = viz.new_figure()
+        tt = np.asarray(ts10)
+        ax.plot(tt, np.asarray(sigma_test), color=viz.SERIES[0], linewidth=2.4,
+                alpha=0.35, label="exact DAE")
+        ax.plot(tt, preds["neural"], color=viz.SERIES[0], linewidth=1.3,
+                linestyle="--", label="NN surrogate")
+        ax.plot(tt, preds["linear"], color=viz.SERIES[1], linewidth=1.2,
+                linestyle=":", label="linear model")
+        ax.set_xlabel("t")
+        ax.set_ylabel("shear stress τ₁₂")
+        ax.set_title("held-out test: γ̇(t) = 12·cos(1.5t)")
+        ax.legend(fontsize=8)
+        viz.save(fig, outdir / "fenep_test_response.pdf")
+        print(f"plots written to {outdir}")
+
     return results
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write the Plotfigs.jl figure analogue")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)

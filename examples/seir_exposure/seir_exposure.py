@@ -25,7 +25,12 @@ import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu import sindy as sd
 from universal_differential_equations_tpu.models import seir
 from universal_differential_equations_tpu.train import bfgs_minimize, fit
-from universal_differential_equations_tpu.utils import rescale_problem
+from universal_differential_equations_tpu.utils import (
+    enable_compilation_cache,
+    rescale_problem,
+)
+
+enable_compilation_cache()
 
 # E,I,R,D,C live ~5 decades below S,N after population normalization; solve
 # in per-state O(1) units (exact transform) so f32 relative control works
@@ -55,7 +60,7 @@ def train_variant(tag, rhs, params0, ts, data, quick):
     return r2.params
 
 
-def main(quick=False):
+def main(quick=False, plot=False):
     ts = jnp.arange(0.0, 21.1, 1.0)
     truth = ude.solve(
         ude.ODEProblem(seir.corona_rhs, seir.U0_NORM, (0.0, 21.0), seir.P_SEIR),
@@ -131,10 +136,37 @@ def main(quick=False):
     err = float(jnp.abs(rec.ys[:, 1:4] - truth60.ys[:, 1:4]).max()) / scale
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "
           f"rel err on E,I,R = {err:.3f}")
+
+    if plot:
+        # seir_exposure.jl figure analogues: the learned exposure term vs
+        # truth on-trajectory, and the recovered model's day-21→60 forecast
+        from universal_differential_equations_tpu import viz
+
+        outdir = Path(__file__).resolve().parent / "plots"
+        viz.save(viz.plot_function_comparison(
+            np.asarray(ts), np.asarray(L_hat), np.asarray(L_true),
+            labels=("NN exposure", "true exposure"), xlabel="day",
+            ylabel="exposure rate (scaled)",
+            title="learned exposure term along the trajectory"),
+            outdir / "seir_exposure_term.pdf")
+        fig = viz.plot_timeseries(
+            ts60, truth60.ys[:, 1:4], labels=["E (truth)", "I (truth)", "R (truth)"],
+            title="recovered exposure model: 21 training days → day 60",
+            xlabel="day", ylabel="fraction of population", train_end=21.0)
+        ax = fig.axes[0]
+        for i in range(3):
+            ax.plot(np.asarray(ts60), np.asarray(rec.ys)[:, 1 + i],
+                    linestyle="--", linewidth=1.2, color=viz.SERIES[i])
+        viz.save(fig, outdir / "seir_extrapolation.pdf")
+        print(f"plots written to {outdir}")
+
     return dict(extrap_rel_err=err)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    main(quick=ap.parse_args().quick)
+    ap.add_argument("--plot", action="store_true",
+                    help="write seir_exposure.jl figure analogues")
+    _a = ap.parse_args()
+    main(quick=_a.quick, plot=_a.plot)
