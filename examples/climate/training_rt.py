@@ -156,6 +156,10 @@ def main():
         ax.set_title("profiles: data (solid) vs rollout (dashed)")
         ax.legend(fontsize=8)
         viz.save(fig, os.path.join(outdir, "rt_profiles.pdf"))
+        viz.animate_profiles(
+            os.path.join(outdir, "rt_rollout.gif"), zc,
+            b_cs[: n_roll + 1], pred=roll, ts=t_u[: n_roll + 1],
+            xlabel="b̄", title="free rollout")
         print(f"plots written to {outdir}")
 
     print("OK")

@@ -109,6 +109,11 @@ def main(quick=False, plot=False):
         return jnp.mean((sol.ys - X_noisy) ** 2)
 
     res3 = bfgs_minimize(loss_rec, p_rec0, maxiters=200)
+    # under-trained quick runs can hand SINDy a dense, unstable model whose
+    # refit diverges — keep the pre-refit coefficients in that case
+    if not np.isfinite(float(res3.value)):
+        res3 = res3._replace(params=p_rec0,
+                             value=jnp.asarray(float(loss_rec(p_rec0))))
     print(f"refit: loss {float(res3.value):.8f}, params {np.asarray(res3.params)}")
     print(f"true interaction coefficients: [-{float(lv.P_TRUE[1])}, "
           f"+{float(lv.P_TRUE[2])}] (β, γ for the x·y terms)")

@@ -121,6 +121,40 @@ def test_ensemble_sharded_multichip():
     assert len(jax.devices()) == 8
 
 
+def test_distributed_helpers_single_process():
+    # single-process contract (SURVEY §5 distributed backend row): no-op
+    # initialization, and the global mesh spans all (virtual) devices with
+    # the same axis name the local helpers use
+    from universal_differential_equations_tpu.parallel import (
+        global_ensemble_mesh,
+        initialize_distributed,
+        is_distributed,
+        local_device_count,
+        process_count,
+    )
+
+    assert initialize_distributed() is False  # no coordinator info → no-op
+    assert is_distributed() is False
+    assert process_count() == 1
+    assert local_device_count() == 8
+    mesh = global_ensemble_mesh()
+    assert mesh.axis_names == ("ensemble",)
+    assert mesh.devices.size == 8
+
+    # the global mesh drops into the same sharded ensemble path
+    def run(u0):
+        sol = ude.solve(
+            ude.ODEProblem(lv.lotka_rhs, u0, (0.0, 1.0), lv.P_TRUE),
+            ude.Tsit5(), rtol=1e-6, atol=1e-8, adjoint=ude.NoAdjoint(),
+            max_steps=256,
+        )
+        return sol.y_final, sol.success
+
+    u0s = lv.U0 * (1.0 + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (8, 2)))
+    res = ensemble_run(run, u0s, mesh=mesh, sharded=True)
+    assert res.num_success == 8
+
+
 # ---------------------------------------------------------------------- C25
 def test_pytree_save_load_roundtrip(tmp_path):
     tree = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3),

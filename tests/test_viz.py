@@ -56,6 +56,17 @@ def test_function_comparison_multicolumn(tmp_path):
     assert p.stat().st_size > 1000
 
 
+def test_animate_profiles_gif(tmp_path):
+    z = np.linspace(0, 1, 16)
+    t = np.linspace(0, 2, 30)
+    truth = np.sin(z[None, :] * 3 + t[:, None])
+    pred = truth + 0.05
+    p = viz.animate_profiles(tmp_path / "roll.gif", z, truth, pred=pred,
+                             ts=t, title="free rollout")
+    assert p.stat().st_size > 5000
+    assert p.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+
+
 def test_success_rates_labels(tmp_path):
     fig = viz.plot_success_rates([1e-3, 5e-3, 1e-2], [0.5, 0.34, 0.27],
                                  counts=100)

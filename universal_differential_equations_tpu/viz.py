@@ -37,7 +37,7 @@ from matplotlib.colors import LinearSegmentedColormap  # noqa: E402
 __all__ = [
     "SERIES", "style_axes", "new_figure", "save",
     "plot_timeseries", "plot_loss_history", "plot_field",
-    "plot_function_comparison", "plot_success_rates",
+    "plot_function_comparison", "plot_success_rates", "animate_profiles",
 ]
 
 # Fixed categorical order — CVD-validated (worst adjacent-pair ΔE 9.1 on a
@@ -219,6 +219,56 @@ def plot_function_comparison(x, learned, true_vals, labels=("learned", "true"),
         ax.set_title(title)
     ax.legend(fontsize=8)
     return fig
+
+
+def animate_profiles(path, coord, truth, pred=None, ts=None, fps=12,
+                     xlabel="value", ylabel="z", title=None, max_frames=120):
+    """Animated profile evolution (the reference's MP4 rollout animations,
+    `neural_pde_rayleigh_taylor_instability.jl:186-202`), written as GIF via
+    the Pillow writer (no ffmpeg dependency).
+
+    ``truth``/``pred``: (T, N) frames over the 1-D ``coord`` (N,).
+    """
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    truth = np.asarray(truth)
+    stride = max(1, truth.shape[0] // max_frames)
+    idx = np.arange(0, truth.shape[0], stride)
+    fig, ax = plt.subplots(figsize=(3.6, 3.6))
+    style_axes(ax)
+    lo = min(truth.min(), np.asarray(pred).min() if pred is not None else np.inf)
+    hi = max(truth.max(), np.asarray(pred).max() if pred is not None else -np.inf)
+    pad = 0.05 * (hi - lo + 1e-12)
+    ax.set_xlim(lo - pad, hi + pad)
+    ax.set_ylim(float(np.min(coord)), float(np.max(coord)))
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    (l_truth,) = ax.plot([], [], color=SERIES[0], linewidth=2.2, alpha=0.45,
+                         label="data")
+    l_pred = None
+    if pred is not None:
+        (l_pred,) = ax.plot([], [], color=SERIES[0], linewidth=1.3,
+                            linestyle="--", label="model")
+        ax.legend(fontsize=8, loc="upper right")
+    ttl = ax.set_title(title or "")
+
+    def update(k):
+        i = idx[k]
+        l_truth.set_data(truth[i], coord)
+        arts = [l_truth, ttl]
+        if l_pred is not None:
+            l_pred.set_data(np.asarray(pred)[i], coord)
+            arts.append(l_pred)
+        stamp = f"t = {float(ts[i]):.2f}" if ts is not None else f"frame {i}"
+        ttl.set_text(f"{title + '   ' if title else ''}{stamp}")
+        return arts
+
+    anim = FuncAnimation(fig, update, frames=len(idx), blit=False)
+    path = Path(path)
+    os.makedirs(path.parent, exist_ok=True)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
 
 
 def plot_success_rates(noise_levels, rates, counts=None,
