@@ -130,9 +130,22 @@ def row_lv_throughput(quick):
                 baseline=20000.0, vs_baseline=round(20000.0 / per, 1))
 
 
+def row_rt_step(quick):
+    # reference: ≈7-10 ms/step at 128×2×128 after warmup
+    # (Climate/DataGeneration/output.txt) — same grid, same ν=κ, Heun+Leray
+    from universal_differential_equations_tpu.models.climate_datagen import (
+        rt_step_seconds,
+    )
+
+    per = rt_step_seconds(N=(32, 2, 32) if quick else (128, 2, 128))
+    return dict(metric="rt_datagen_ms_per_step", value=round(per * 1e3, 3),
+                unit="ms", baseline=8.5,
+                vs_baseline=round(8.5e-3 / per, 1))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", default="1,2,3,4,5")
+    ap.add_argument("--rows", default="1,2,3,4,5,6")
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
     enable_compilation_cache()
@@ -144,6 +157,7 @@ def main():
         3: lambda: row_climate_adjoint(args.quick),
         4: lambda: row_hjb(args.quick),
         5: lambda: row_lv_throughput(args.quick),
+        6: lambda: row_rt_step(args.quick),
     }
     for r in rows:
         res = runners[r]()

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--full-res", action="store_true",
                     help="reference-scale grids (128 tracer, 128x4x128 RT)")
+    ap.add_argument("--plot", action="store_true",
+                    help="write the horizontal-average evolution figure")
     args = ap.parse_args()
 
     # --- forced advection-diffusion tracer (advection_diffusion_3d.jl) ---
@@ -93,6 +95,19 @@ def main():
     out = os.path.join(out_dir, out_name)
     np.savez(out, t=ts, z=z, b=b)
     print(f"wrote {out} (b shape {b.shape})")
+
+    if args.plot:
+        # the reference's horizontal-average JLD2 diagnostic, as one figure
+        from universal_differential_equations_tpu import viz
+
+        plot_dir = os.path.join(os.path.dirname(__file__), "plots")
+        viz.save(viz.plot_field(
+            b.T, (float(ts[0]), float(ts[-1]), float(z[0]), float(z[-1])),
+            title="Rayleigh-Taylor b̄(z, t) horizontal averages",
+            ylabel="z", cbar_label="b̄", diverging=True),
+            os.path.join(plot_dir, "rt_averages.pdf"))
+        print(f"plots written to {plot_dir}")
+
     print("OK")
 
 

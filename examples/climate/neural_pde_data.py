@@ -52,6 +52,8 @@ def load_or_generate(quick: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="write npde_data.jl figure analogues")
     args = ap.parse_args()
 
     t, z, b = load_or_generate(args.quick)
@@ -106,6 +108,24 @@ def main():
     if not args.quick:
         assert res.final_loss < 0.2 * l0, "training did not reduce loss 5x"
         assert bool(sol.success) and rel < 0.6
+
+    if args.plot:
+        # npde_data.jl figure analogue: data vs neural-PDE rollout on the
+        # real horizontal-average profiles, as z-t fields
+        from universal_differential_equations_tpu import viz
+
+        outdir = os.path.join(os.path.dirname(__file__), "plots")
+        extent = (tspan[0], tspan[1], 0.0, 1.0)
+        viz.save(viz.plot_field(np.asarray(data).T, extent,
+                                title="b̄(z, t) data (interior levels)",
+                                ylabel="z", cbar_label="b̄"),
+                 os.path.join(outdir, "npde_data_truth.pdf"))
+        viz.save(viz.plot_field(np.asarray(sol.ys).T, extent,
+                                title="neural-PDE ROCK4 rollout",
+                                ylabel="z", cbar_label="b̄"),
+                 os.path.join(outdir, "npde_data_rollout.pdf"))
+        print(f"plots written to {outdir}")
+
     print("OK")
 
 

@@ -51,7 +51,7 @@ CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
 
 
-def write_plots(exact, contains, c1, c2, noise):
+def write_plots(exact, contains, c1, c2, noise, final_loss=None):
     """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
     bars (:120-126) and the recovered-coefficient spread vs the true values
     (re-plottable from the archive without retraining, like Plotfigs.jl)."""
@@ -91,6 +91,28 @@ def write_plots(exact, contains, c1, c2, noise):
     ax.set_title("recovered interaction coefficients (dashes = truth)")
     ax.legend(fontsize=8)
     viz.save(fig, outdir / "loop_coefficients.pdf")
+
+    if final_loss is not None:
+        # loop_evaluation.jl:152-190 analogue: final-training-loss spread per
+        # noise level (failed lanes show as the high-loss tail)
+        fig, ax = viz.new_figure(4.8, 3.2)
+        fl = np.asarray(final_loss).reshape(n_levels, -1)
+        rng2 = np.random.default_rng(1)
+        for lvl in range(n_levels):
+            vals = np.clip(fl[lvl], 1e-12, None)
+            xj = lvl + rng2.uniform(-0.16, 0.16, vals.size)
+            ax.scatter(xj, vals, s=7, color=viz.SERIES[0], alpha=0.45,
+                       edgecolors="none")
+            med = np.median(vals[np.isfinite(vals)])
+            ax.plot([lvl - 0.25, lvl + 0.25], [med, med],
+                    color=viz.SERIES[1], linewidth=1.6, zorder=4)
+        ax.set_yscale("log")
+        ax.set_xticks(range(n_levels))
+        ax.set_xticklabels([f"{m:g}" for m in noise])
+        ax.set_xlabel("noise magnitude")
+        ax.set_ylabel("final training loss")
+        ax.set_title("per-run final losses (bar = median)")
+        viz.save(fig, outdir / "loop_losses.pdf")
     print(f"plots written to {outdir}")
 
 
@@ -227,12 +249,12 @@ def main(runs_per_level=100, plot=False):
             theta, loss = bfgs_round(theta, data)
         for _ in range(LM_ROUNDS):
             theta, loss = lm_round(theta, data)
-        results.append(recover_stage(theta, data, loss))
+        results.append(recover_stage(theta, data, loss) + (loss,))
         jax.block_until_ready(results[-1][0])
         print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
-    exact, contains, fit_ok, c1, c2 = [
-        np.concatenate([np.asarray(r[i]) for r in results]) for i in range(5)
+    exact, contains, fit_ok, c1, c2, fin_loss = [
+        np.concatenate([np.asarray(r[i]) for r in results]) for i in range(6)
     ]
     wall = time.time() - t0
 
@@ -249,10 +271,12 @@ def main(runs_per_level=100, plot=False):
     arch = KeyedArchive(Path(__file__).parent / "results")
     arch.save("loop_study", exact=jnp.asarray(exact),
               contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
-              coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS))
+              coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
+              final_loss=jnp.asarray(fin_loss))
     print(f"archived to {arch.root}/loop_study.npz")
     if plot:
-        write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS))
+        write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
+                    fin_loss)
     low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
     assert low_noise_rate >= 0.15, \
         f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
@@ -271,6 +295,7 @@ if __name__ == "__main__":
     if args.plot_only:
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
-                        z["noise"])
+                        z["noise"],
+                        z["final_loss"] if "final_loss" in z.files else None)
     else:
         main(runs_per_level=args.runs_per_level, plot=args.plot)

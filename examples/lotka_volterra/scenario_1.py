@@ -35,7 +35,11 @@ import optax
 import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu import sindy as sd
 from universal_differential_equations_tpu.models import lotka_volterra as lv
-from universal_differential_equations_tpu.train import bfgs_minimize, fit
+from universal_differential_equations_tpu.train import (
+    bfgs_minimize,
+    fit,
+    levenberg_marquardt,
+)
 from universal_differential_equations_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
@@ -70,7 +74,21 @@ def main(quick=False, plot=False):
         # the optimum is identical to the reference's sum-of-squares.
         return jnp.mean((predict(params) - X_noisy) ** 2)
 
-    # -- two-stage training (scenario_1.jl:111-118)
+    # -- two-stage training (scenario_1.jl:111-118) + LM polish: BFGS line
+    # searches stall a few× above the 5e-3-noise floor in f32, which leaves
+    # enough NN error on-trajectory to blur the sparse recovery; the
+    # Gauss-Newton step drives the fit to the floor in tens of iterations
+    def residuals(params):
+        r = (predict_fs(params) - X_noisy) / jnp.sqrt(1.0 * X_noisy.size)
+        return r.ravel()
+
+    def predict_fs(params):
+        sol = ude.solve(
+            ude.remake(prob0, args=params), ude.Tsit5(), saveat=ts,
+            rtol=1e-6, atol=1e-6, adjoint=ude.ForwardSensitivity(),
+        )
+        return sol.ys
+
     t0 = time.time()
     res1 = fit(loss, params0, optax.adam(0.1), 100 if quick else 200,
                callback=lambda s, l, p: (print(f"  adam step {s}: loss {l:.6f}"), False)[1],
@@ -78,10 +96,16 @@ def main(quick=False, plot=False):
     res2 = bfgs_minimize(loss, res1.params,
                          maxiters=300 if quick else 2000,
                          initial_stepnorm=0.01, gtol=1e-10)
+    res_lm = levenberg_marquardt(residuals, res2.params,
+                                 maxiters=30 if quick else 100)
+    if float(res_lm.loss) < float(res2.value):
+        res2 = res2._replace(params=res_lm.params,
+                             value=jnp.asarray(res_lm.loss))
     train_s = time.time() - t0
-    print(f"training: adam final {res1.final_loss:.6f} → bfgs final "
-          f"{float(res2.value):.8f} in {train_s:.1f}s "
-          f"({int(res2.iterations)} BFGS iters)")
+    print(f"training: adam final {res1.final_loss:.6f} → bfgs "
+          f"{float(res2.value):.8f} → LM {float(res_lm.loss):.8f} "
+          f"in {train_s:.1f}s ({int(res2.iterations)} BFGS + "
+          f"{int(res_lm.iterations)} LM iters)")
 
     # -- SINDy recovery on the learned interactions (scenario_1.jl:155-172)
     X_hat = predict(res2.params)

@@ -114,13 +114,19 @@ def main(quick=False, plot=False):
     Xh = sol.ys
     Yh = jax.vmap(lambda u: net.apply(p_tr["nn"], u))(Xh)
 
-    def g(k, rss, N):  # scenario_2.jl:199
-        return jnp.where(k <= 1, jnp.inf, 2.0 * k - 2.0 * jnp.log(rss))
+    def g(k, rss, N):
+        # scenario_2.jl:199: ``g(x) = x[1] <= 1 ? Inf : 2x[1] - 2log(x[2])``
+        # — AIC with x[1]=dof and x[2] the (likelihood-like) fit quality.
+        # With a residual sum of squares in hand the Gaussian AIC reads
+        # 2k + N·log(rss/N); models with ≤1 active term are rejected outright
+        # exactly like the reference's Inf branch.
+        return jnp.where(k <= 1, jnp.inf, 2.0 * k + N * jnp.log(rss / N))
 
     basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
     lams = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.1))
     res = sd.sindy(sd.DirectDataDrivenProblem(Xh, Yh), basis, sd.STLSQ(lams),
-                   normalize=True, sampler=sd.DataSampler(4), exhaustive_k=2)
+                   normalize=True, sampler=sd.DataSampler(4), exhaustive_k=2,
+                   selection=g)
     print("recovered interactions:")
     for eq in res.equations():
         print("   " + eq[:90])

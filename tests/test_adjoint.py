@@ -92,3 +92,38 @@ def test_continuous_adjoint_matches_discrete_tightly():
     g_int = jax.grad(_loss_fn(ude.InterpolatingAdjoint()))(P0, U0)["p"]
     np.testing.assert_allclose(np.asarray(g_int), np.asarray(g_disc),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_seminorm_gradients_match():
+    # adjoint seminorm (arXiv:2009.09457): dropping the parameter-quadrature
+    # rows from the backward error test must not change gradients beyond
+    # tolerance-level noise
+    g_full = jax.grad(_loss_fn(ude.InterpolatingAdjoint()))(P0, U0)["p"]
+    g_semi = jax.grad(_loss_fn(ude.InterpolatingAdjoint(seminorm=True)))(P0, U0)["p"]
+    np.testing.assert_allclose(np.asarray(g_semi), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-7)
+    g_bs = jax.grad(_loss_fn(ude.BacksolveAdjoint(seminorm=True)))(P0, U0)["p"]
+    np.testing.assert_allclose(np.asarray(g_bs), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_error_weights_seminorm_step_control():
+    # the err_weights hook must exclude masked components from step control:
+    # a wild fast component with weight 0 no longer forces small steps
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_while,
+    )
+
+    def f(t, y, args):
+        return jnp.array([jnp.cos(t), 200.0 * jnp.cos(200.0 * t)])
+
+    y0 = jnp.zeros(2)
+    full = integrate_while(f, y0, 0.0, 3.0, None, ude.Tsit5(), 1e-8, 1e-8,
+                           None, 8192)
+    masked = integrate_while(f, y0, 0.0, 3.0, None, ude.Tsit5(), 1e-8, 1e-8,
+                             None, 8192,
+                             err_weights=jnp.array([1.0, 0.0]))
+    assert bool(full.success) and bool(masked.success)
+    assert int(masked.n_acc) < 0.3 * int(full.n_acc)
+    # the controlled component stays accurate
+    assert abs(float(masked.y_final[0]) - np.sin(3.0)) < 1e-6

@@ -74,3 +74,14 @@ def test_coarse_grain_block_average():
     # batched over leading axes
     xb = np.stack([x, 2 * x])
     np.testing.assert_allclose(np.asarray(coarse_grain(xb, 4))[1], 2 * cg)
+
+
+def test_rt_step_benchmark_helper():
+    # §6 baseline-table row: the step-timer must run the same jitted chunk
+    # as the generator and report a positive steady-state per-step time
+    from universal_differential_equations_tpu.models.climate_datagen import (
+        rt_step_seconds,
+    )
+
+    per = rt_step_seconds(N=(8, 2, 8), ni=4, repeats=2)
+    assert 0.0 < per < 1.0

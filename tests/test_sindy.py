@@ -148,3 +148,27 @@ def test_custom_selection_objective():
     res = sd.sindy(sd.DirectDataDrivenProblem(X, Y), basis, sd.STLSQ(LAMS),
                    normalize=True, selection=g)
     assert (res.sparsity >= 1).all()
+
+
+def test_custom_selection_honored_with_sampler():
+    # scenario_2.jl pairs the custom objective WITH the Batcher sampler: the
+    # objective must score the CV errors, not be shadowed by the default
+    # parsimony cutoff.  g forbids k ≤ 1, so even though a single feature
+    # explains y perfectly, the selected support must have 2 terms.
+    key = jax.random.PRNGKey(3)
+    X = jax.random.uniform(key, (64, 2), minval=0.5, maxval=2.0)
+    Y = (3.0 * X[:, :1])  # exactly one active feature (u1)
+    basis = sd.polynomial_basis(2, 2)
+
+    def g(k, rss, N):
+        return jnp.where(k <= 1, jnp.inf, 2.0 * k - 2.0 * jnp.log(rss + 1e-30))
+
+    res = sd.sindy(sd.DirectDataDrivenProblem(X, Y), basis, sd.STLSQ(LAMS),
+                   normalize=True, sampler=sd.DataSampler(4), exhaustive_k=2,
+                   selection=g)
+    assert int(res.sparsity[0]) >= 2  # k=1 forbidden by the objective
+    # without the custom objective the CV parsimony rule picks the 1-term truth
+    res_cv = sd.sindy(sd.DirectDataDrivenProblem(X, Y), basis, sd.STLSQ(LAMS),
+                      normalize=True, sampler=sd.DataSampler(4),
+                      exhaustive_k=2)
+    assert int(res_cv.sparsity[0]) == 1

@@ -112,6 +112,16 @@ class _ContinuousAdjoint(AbstractAdjoint):
     atol: Optional[float] = None
     segment_max_steps: int = 1024
     default_max_steps: int = 4096
+    # adjoint seminorm (arXiv:2009.09457): exclude the passively-integrated
+    # parameter-quadrature rows from the backward error test — λ (and the
+    # backsolved state) stay fully controlled, μ rides along.  Gradients
+    # match to ~8 digits either way (tested).  Measured with this package's
+    # RMS-mean norm the effect is roughly neutral (LV UDE: 28→33 backward
+    # steps; 5k-param stiff MLP: 139→168) because thousands of small
+    # quadrature ratios *dilute* the full norm rather than constrain it —
+    # hence default False; enable when quadrature rows dominate step
+    # control (large fast-varying λᵀ∂f/∂p with tight atol).
+    seminorm: bool = False
 
     kind = "interp"
 
@@ -224,12 +234,22 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
 
     n_seg = ts_save.shape[0]
 
+    if cfg.seminorm:
+        # controlled rows: λ (+ backsolved y); quadrature rows μ are free
+        n_ctrl = dim if cfg.kind == "interp" else 2 * dim
+        err_w = jnp.concatenate([
+            jnp.ones((n_ctrl,), z_init.dtype),
+            jnp.zeros((n_p,), z_init.dtype),
+        ])
+    else:
+        err_w = None
+
     def segment(carry, i):
         z, t_hi = carry
         t_lo = ts_save[i]
         res = integrate_while(
             adj_rhs, z, t_hi, t_lo, None, solver, a_rtol, a_atol, None,
-            cfg.segment_max_steps, ctrl,
+            cfg.segment_max_steps, ctrl, err_weights=err_w,
         )
         z = at_boundary(res.y_final, i)
         return (z, t_lo), res.success
@@ -239,7 +259,7 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
     )
     res = integrate_while(
         adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
-        cfg.segment_max_steps, ctrl,
+        cfg.segment_max_steps, ctrl, err_weights=err_w,
     )
     z = res.y_final
 

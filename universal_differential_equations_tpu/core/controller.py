@@ -14,11 +14,24 @@ import jax.numpy as jnp
 __all__ = ["PIController", "hairer_norm", "initial_step_size"]
 
 
-def hairer_norm(err, y0, y1, rtol, atol):
-    """Scaled RMS error norm: sqrt(mean((err / (atol + rtol*max|y|))^2))."""
+def hairer_norm(err, y0, y1, rtol, atol, weights=None):
+    """Scaled RMS error norm: sqrt(mean((err / (atol + rtol*max|y|))^2)).
+
+    ``weights`` (optional, same shape as the state) turns this into a
+    *seminorm*: components with weight 0 are excluded from step control.
+    Used by the continuous adjoints to drop the parameter-quadrature rows
+    from the backward error test — they are passively integrated (never fed
+    back into the dynamics), so controlling them only shrinks steps
+    ("Hey, that's not an ODE": Faster ODE Adjoints via Seminorms,
+    arXiv:2009.09457).
+    """
     scale = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     ratio = err / scale
-    norm = jnp.sqrt(jnp.mean(ratio * ratio))
+    if weights is None:
+        norm = jnp.sqrt(jnp.mean(ratio * ratio))
+    else:
+        w = weights.astype(ratio.dtype)
+        norm = jnp.sqrt(jnp.sum(w * ratio * ratio) / jnp.maximum(w.sum(), 1.0))
     # Map non-finite errors (NaN blowups) to a huge-but-finite value so the
     # controller rejects and shrinks instead of poisoning dt with NaN.
     return jnp.where(jnp.isfinite(norm), norm, jnp.full_like(norm, 1e10))

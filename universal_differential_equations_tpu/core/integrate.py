@@ -99,7 +99,7 @@ def _setup(f, y0, t0, t1, args, solver, rtol, atol, dt0):
 
 
 def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
-             tstops=None):
+             tstops=None, err_weights=None):
     """One controller-supervised step attempt. Returns (state', accept, t_new).
 
     ``tstops`` (internal-time, ascending) forces accepted steps to land
@@ -123,7 +123,9 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     dt = jnp.where(clamped, dt_cap, state.dt)
     y1, y_err, f1, nfe = solver.step(f_int, state.t, state.y, state.f, dt, args)
     # controller scalars are non-differentiable (see dt_init note in _setup)
-    err = jax.lax.stop_gradient(hairer_norm(y_err, state.y, y1, rtol, atol))
+    err = jax.lax.stop_gradient(
+        hairer_norm(y_err, state.y, y1, rtol, atol, err_weights)
+    )
     accept = err <= 1.0
     dt_next, err_prev = controller.next_dt(
         dt, err, state.err_prev, accept, solver.error_order
@@ -170,7 +172,7 @@ def _result(buf_t, buf_y, buf_f, state, direction, tau1):
 
 def integrate_while(
     f, y0, t0, t1, args, solver, rtol, atol, dt0=None, max_steps=4096,
-    controller=PIController(), tstops=None,
+    controller=PIController(), tstops=None, err_weights=None,
 ):
     f_int, state, tau0, tau1, direction, dtype = _setup(
         f, y0, t0, t1, args, solver, rtol, atol, dt0
@@ -192,7 +194,7 @@ def integrate_while(
         state, buf_t, buf_y, buf_f = carry
         new, accept, t_new, y1, f1 = _attempt(
             f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
-            tstops,
+            tstops, err_weights,
         )
         idx = state.n_acc + 1  # rejected attempts rewrite the same slot
         buf_t = buf_t.at[idx].set(jnp.where(accept, t_new, inf))

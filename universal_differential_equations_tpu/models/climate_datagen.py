@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["advection_diffusion_3d", "rayleigh_taylor_3d", "coarse_grain"]
+__all__ = ["advection_diffusion_3d", "rayleigh_taylor_3d", "coarse_grain",
+           "rt_step_seconds"]
 
 
 def _lap_periodic(c, dx):
@@ -147,26 +148,13 @@ def _adv(f, u, v, w, dx):
     return out
 
 
-def rayleigh_taylor_3d(
-    N: Tuple[int, int, int] = (64, 4, 64),
-    L: Tuple[float, float, float] = (1.0, 0.0625, 1.0),
-    nu: float = 1e-4,
-    kappa: float = 1e-4,
-    b_amp: float = 1.0,
-    end_time: float = 2.0,
-    save_every: float = 0.1,
-    cfl: float = 0.2,
-    ni: int = 10,
-    key=None,
-    dtype=jnp.float32,
-):
-    """Buoyancy-driven RT mixing; returns (save_ts, z, b_profiles (T, Nz)).
+def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype):
+    """Initial state + jitted ``ni``-step Heun/Leray chunk for the RT slab.
 
-    Matches the reference's 128×2×128 slab (``:13-15``) at configurable
-    resolution on the centered domain (−L/2, L/2): interface
-    ``0.05·sin(6πx)`` with b=+1 below / −1 above (``:39-43``), ν=κ=1e-4
-    (``:18-19``), horizontal b̄(z) averages on the save grid (``:60-76``).
-    """
+    Shared by :func:`rayleigh_taylor_3d` (the data generator's adaptive-CFL
+    outer loop) and :func:`rt_step_seconds` (the step-time benchmark
+    reproducing the reference's 7-10 ms/step progress lines,
+    ``Climate/DataGeneration/output.txt``)."""
     Nx, Ny, Nz = N
     dx = (L[0] / Nx, L[1] / max(Ny, 1), L[2] / Nz)
     x = -L[0] / 2 + (jnp.arange(Nx, dtype=dtype) + 0.5) * dx[0]
@@ -224,7 +212,59 @@ def rayleigh_taylor_3d(
                                        jnp.max(jnp.abs(w))))
         return state, umax
 
-    state = (u, v, w, b)
+    return (u, v, w, b), z, chunk, dx
+
+
+def rt_step_seconds(
+    N: Tuple[int, int, int] = (128, 2, 128),
+    ni: int = 10,
+    repeats: int = 5,
+    dtype=jnp.float32,
+):
+    """Steady-state wall-clock per RT solver step at the reference's grid.
+
+    Reference: ≈7-10 ms/step at 128×2×128 after warmup
+    (``Climate/DataGeneration/output.txt`` progress lines).  Times the
+    jitted ``ni``-step chunk post-compile and returns seconds per step.
+    """
+    import time
+
+    state, _, chunk, dx = _rt_stepper(
+        N, (1.0, N[1] / N[0], 1.0), 1e-4, 1e-4, 1.0, ni, None, dtype)
+    dt = jnp.asarray(1e-4, dtype)
+    state, umax = chunk(state, dt)  # compile + warm
+    jax.block_until_ready(umax)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, umax = chunk(state, dt)
+        jax.block_until_ready(umax)
+        best = min(best, (time.perf_counter() - t0) / ni)
+    return best
+
+
+def rayleigh_taylor_3d(
+    N: Tuple[int, int, int] = (64, 4, 64),
+    L: Tuple[float, float, float] = (1.0, 0.0625, 1.0),
+    nu: float = 1e-4,
+    kappa: float = 1e-4,
+    b_amp: float = 1.0,
+    end_time: float = 2.0,
+    save_every: float = 0.1,
+    cfl: float = 0.2,
+    ni: int = 10,
+    key=None,
+    dtype=jnp.float32,
+):
+    """Buoyancy-driven RT mixing; returns (save_ts, z, b_profiles (T, Nz)).
+
+    Matches the reference's 128×2×128 slab (``:13-15``) at configurable
+    resolution on the centered domain (−L/2, L/2): interface
+    ``0.05·sin(6πx)`` with b=+1 below / −1 above (``:39-43``), ν=κ=1e-4
+    (``:18-19``), horizontal b̄(z) averages on the save grid (``:60-76``).
+    """
+    state, z, chunk, dx = _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype)
+    Ny = N[1]
     min_dx = min(dx[0], dx[2]) if Ny <= 4 else min(dx)
     # buoyancy free-fall CFL: velocities reach ~sqrt(b·Δx) within a cell
     # before the velocity-based CFL can see them — bound dt by it up front

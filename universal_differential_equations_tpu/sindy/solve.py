@@ -240,21 +240,28 @@ def sindy(
                     return jnp.sum(res_b**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
 
                 cv = jax.vmap(fold)(w)  # (B, L)
-                cv_mean = cv.mean(axis=0)
-                # Parsimony rule: the sparsest model whose CV error is within
-                # ``cv_tolerance``× of the best.  Removing a *needed* term
-                # inflates held-out error by orders of magnitude; spurious
-                # terms buy only O(1) factors — so a generous factor selects
-                # the true support robustly (the role of the reference's
-                # Batcher sampler, ``scenario_1.jl:172``).
+                cv_mean = jnp.maximum(cv.mean(axis=0), floor / N)
                 big = jnp.asarray(jnp.inf, cv_mean.dtype)
-                cv_mean = jnp.maximum(cv_mean, floor / N)
-                cutoff = cv_tolerance * jnp.min(cv_mean)
-                ok = cv_mean <= cutoff
-                k_min = jnp.min(jnp.where(ok, ks, jnp.iinfo(jnp.int32).max))
-                cand = ok & (ks == k_min)
-                best = jnp.argmin(jnp.where(cand, cv_mean, big))
-                scores = cv_mean
+                if callable(selection):
+                    # custom objective g(k, rss, N) scores the held-out
+                    # errors directly (`scenario_2.jl:199`: the objective IS
+                    # the parsimony rule, so no cutoff heuristic on top)
+                    scores = score_fn(ks, cv_mean * N, N)
+                    best = jnp.argmin(scores)
+                else:
+                    # Parsimony rule: the sparsest model whose CV error is
+                    # within ``cv_tolerance``× of the best.  Removing a
+                    # *needed* term inflates held-out error by orders of
+                    # magnitude; spurious terms buy only O(1) factors — so a
+                    # generous factor selects the true support robustly (the
+                    # role of the reference's Batcher sampler,
+                    # ``scenario_1.jl:172``).
+                    cutoff = cv_tolerance * jnp.min(cv_mean)
+                    ok = cv_mean <= cutoff
+                    k_min = jnp.min(jnp.where(ok, ks, jnp.iinfo(jnp.int32).max))
+                    cand = ok & (ks == k_min)
+                    best = jnp.argmin(jnp.where(cand, cv_mean, big))
+                    scores = cv_mean
             return xi[best], active[best], rss[best], ks[best], scores[best], best
 
         return jax.vmap(per_target, in_axes=(1, 1))(corrs, Y)
