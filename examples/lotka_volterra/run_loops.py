@@ -44,6 +44,8 @@ enable_compilation_cache()
 
 NOISE_LEVELS = (1e-3, 5e-3, 1e-2, 2.5e-2, 5e-2)  # run_loops.jl:40-46
 LAMS = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.2))
+BASIS = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+I_XY = BASIS.names.index("u1*u2")
 BFGS_ROUNDS = 4
 BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
 LM_ROUNDS = 2
@@ -67,13 +69,19 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
         title="x·y term found (dominant physics)"),
         outdir / "loop_success_contains.pdf")
 
+    c1 = np.asarray(c1)
+    c2 = np.asarray(c2)
+    if c1.ndim == 2:  # full coefficient vectors; legacy archives stored x·y only
+        cx1, cx2 = c1[:, I_XY], c2[:, I_XY]
+    else:
+        cx1, cx2 = c1, c2
     fig, ax = viz.new_figure(5.0, 3.2)
     n_levels = len(noise)
-    per = c1.size // n_levels
+    per = cx1.size // n_levels
     rng = np.random.default_rng(0)
     for lvl in range(n_levels):
-        seg1 = c1.reshape(n_levels, per)[lvl]
-        seg2 = c2.reshape(n_levels, per)[lvl]
+        seg1 = cx1.reshape(n_levels, per)[lvl]
+        seg2 = cx2.reshape(n_levels, per)[lvl]
         keep = np.isfinite(seg1) & np.isfinite(seg2)
         xj = lvl + rng.uniform(-0.16, 0.16, keep.sum())
         ax.scatter(xj, seg1[keep], s=7, color=viz.SERIES[0], alpha=0.5,
@@ -113,6 +121,53 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
         ax.set_ylabel("final training loss")
         ax.set_title("per-run final losses (bar = median)")
         viz.save(fig, outdir / "loop_losses.pdf")
+
+    if c1.ndim == 2 and c1.shape[1] == len(BASIS):
+        # loop_evaluation.jl:194-216 analogue: simulate sampled recovered
+        # models — exact recoveries vs failures — against the truth
+        ts_g = jnp.linspace(0.0, 6.0, 121)
+        truth = ude.solve(
+            ude.ODEProblem(lv.lotka_rhs, lv.U0.astype(jnp.float32),
+                           (0.0, 6.0), lv.P_TRUE),
+            ude.Tsit5(), saveat=ts_g, rtol=1e-8, atol=1e-8,
+            adjoint=ude.NoAdjoint())
+
+        def simulate(row1, row2):
+            def rec_rhs(t, u, _):
+                th = BASIS.theta(u[None, :])[0]
+                return jnp.stack([lv.P_TRUE[0] * u[0] + th @ row1,
+                                  -lv.P_TRUE[3] * u[1] + th @ row2])
+            s = ude.solve(ude.ODEProblem(rec_rhs, lv.U0.astype(jnp.float32),
+                                         (0.0, 6.0), None),
+                          ude.Tsit5(), saveat=ts_g, rtol=1e-6, atol=1e-6,
+                          adjoint=ude.NoAdjoint(), max_steps=1024)
+            return np.asarray(s.ys)
+
+        flat_exact = np.asarray(exact).ravel().astype(bool)
+        idx_ok = np.nonzero(flat_exact)[0][:3]
+        idx_bad = np.nonzero(~flat_exact & np.isfinite(cx1))[0][:3]
+        fig, axes = viz.plt.subplots(2, 3, figsize=(7.6, 4.6), sharex=True)
+        for r, (tag, idxs) in enumerate((("exact recovery", idx_ok),
+                                         ("failed recovery", idx_bad))):
+            for ci, ax2 in enumerate(axes[r]):
+                viz.style_axes(ax2)
+                if ci >= len(idxs):
+                    ax2.set_visible(False)
+                    continue
+                run = int(idxs[ci])
+                ys = simulate(jnp.asarray(c1[run]), jnp.asarray(c2[run]))
+                for j in range(2):
+                    ax2.plot(np.asarray(ts_g), np.asarray(truth.ys)[:, j],
+                             color=viz.SERIES[j], linewidth=2.0, alpha=0.3)
+                    ax2.plot(np.asarray(ts_g), np.clip(ys[:, j], -10, 10),
+                             color=viz.SERIES[j], linewidth=1.0,
+                             linestyle="--")
+                ax2.set_ylim(0, 8)
+                ax2.set_title(f"{tag} (run {run})", fontsize=8)
+        fig.suptitle("sampled recovered models vs truth "
+                     "(solid = truth, dashed = recovered)", fontsize=10)
+        fig.tight_layout()
+        viz.save(fig, outdir / "loop_trajectories.pdf")
     print(f"plots written to {outdir}")
 
 
@@ -127,9 +182,8 @@ def main(runs_per_level=100, plot=False):
 
     rhs, params0, net = lv.make_ude(jax.random.PRNGKey(7))
     _, unravel = jax.flatten_util.ravel_pytree(params0)
-    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
-    names = basis.names
-    i_xy = names.index("u1*u2")
+    basis = BASIS
+    i_xy = I_XY
     t_end = float(ts[-1])
 
     def make_data(key, mag):
@@ -234,7 +288,7 @@ def main(runs_per_level=100, plot=False):
         fit_ok = jnp.isfinite(final_loss) & (final_loss < 1e-3)
         exact = jnp.all(act1 == want) & jnp.all(act2 == want) & fit_ok
         contains = act1[i_xy] & act2[i_xy] & fit_ok
-        return exact, contains, fit_ok, c1[i_xy], c2[i_xy]
+        return exact, contains, fit_ok, c1, c2
 
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
           f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
@@ -255,7 +309,7 @@ def main(runs_per_level=100, plot=False):
               f"({time.time()-t0:.0f}s)", flush=True)
     exact, contains, fit_ok, c1, c2, fin_loss = [
         np.concatenate([np.asarray(r[i]) for r in results]) for i in range(6)
-    ]
+    ]  # c1/c2: (n_runs, m) full recovered coefficient vectors
     wall = time.time() - t0
 
     exact = exact.reshape(n_levels, runs_per_level)

@@ -18,13 +18,31 @@ __all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
            "enable_compilation_cache", "benchmark", "trace", "StepTimer"]
 
 
-def enable_compilation_cache(path="/tmp/ude_tpu_jax_cache"):
+def enable_compilation_cache(path=None):
     """Persist XLA compilations across processes.
 
     Adaptive-solver programs (nested scans/while loops) compile in minutes on
     TPU; the cache turns every later run of the same example/benchmark into a
     sub-second load.  Call before the first jit.
+
+    The default directory is fingerprinted by host CPU features and jax
+    version: XLA:CPU entries are ahead-of-time machine code, and loading a
+    cache written on a different host type risks SIGILL (the loader only
+    warns).  A cache dir inherited from another machine must not be reused.
     """
+    if path is None:
+        import hashlib
+        import platform
+
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = next((ln for ln in fh if ln.startswith("flags")), "")
+        except OSError:
+            flags = platform.processor()
+        tag = hashlib.md5(
+            (flags + jax.__version__).encode()
+        ).hexdigest()[:10]
+        path = f"/tmp/ude_tpu_jax_cache_{tag}"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
