@@ -1,0 +1,98 @@
+"""Pallas fused universal-PDE RHS vs XLA lowering: speed AND accuracy.
+
+Substantiates the `ops/` claims on the real TPU: at production grid sizes
+the one-VMEM-pass kernel (reaction MLP + periodic 3-tap stencil,
+`Fisher-KPP-CNN.jl:111-126` role) is compared against XLA's own lowering of
+the identical computation for (a) wall-clock per evaluation and (b) f32
+accuracy versus a float64 host reference (XLA lowers small f32 matmuls to
+bf16 MXU passes unless told otherwise; the kernel does full-f32 VPU math).
+
+Prints one JSON line per grid size:
+  {"n": N, "pallas_us": ..., "xla_us": ..., "speed_ratio": ...,
+   "pallas_relerr": ..., "xla_relerr": ...}
+
+Run on a TPU host: python benchmarks/pallas_rhs_bench.py [--sizes 1024,8192]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from universal_differential_equations_tpu.ops import (
+    fused_updet_rhs,
+    make_pointwise_mlp_params,
+    updet_rhs_xla,
+)
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+
+def _time(fn, *args, repeats=50):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _f64_reference(u, taps, d0, mlp):
+    to64 = lambda x: np.asarray(x, np.float64)
+    h = to64(u)[:, None]
+    for i, (w, b) in enumerate(mlp):
+        h = h @ to64(w) + to64(b)
+        if i < len(mlp) - 1:
+            h = np.tanh(h)
+    rx = h[:, 0]
+    t = to64(taps)
+    conv = t[0] * np.roll(to64(u), 1) + t[1] * to64(u) + t[2] * np.roll(to64(u), -1)
+    return rx + float(d0) * conv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1024,8192,65536")
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    key = jax.random.PRNGKey(0)
+    taps = jnp.array([6.25, -12.5, 6.25], jnp.float32)
+    d0 = jnp.float32(1.0)
+    mlp = make_pointwise_mlp_params(key, (1, 10, 20, 10, 1))
+
+    for n in (int(s) for s in args.sizes.split(",")):
+        u = jax.random.uniform(jax.random.fold_in(key, n), (n,), jnp.float32)
+        pal = jax.jit(lambda uu: fused_updet_rhs(uu, taps, d0, mlp))
+        # "default" XLA path: exactly what a model author would write; use
+        # default matmul precision to expose the bf16 MXU lowering the
+        # package guards against (the package __init__ pins f32 — the bench
+        # measures what happens without the guard)
+        with jax.default_matmul_precision("bfloat16"):
+            xla = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
+            t_x, out_x = _time(xla, u)
+        t_p, out_p = _time(pal, u)
+        ref = _f64_reference(u, taps, d0, mlp)
+        scale = np.abs(ref).max()
+        err_p = float(np.abs(np.asarray(out_p, np.float64) - ref).max() / scale)
+        err_x = float(np.abs(np.asarray(out_x, np.float64) - ref).max() / scale)
+        print(json.dumps({
+            "n": n,
+            "pallas_us": round(t_p * 1e6, 2),
+            "xla_us": round(t_x * 1e6, 2),
+            "speed_ratio": round(t_x / t_p, 2),
+            "pallas_relerr": float(f"{err_p:.3g}"),
+            "xla_bf16_relerr": float(f"{err_x:.3g}"),
+            "accuracy_ratio": float(f"{err_x / max(err_p, 1e-30):.3g}"),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,11 +53,22 @@ def train_variant(tag, rhs, params0, ts, data, quick):
     t0 = time.time()
     r1 = fit(loss, params0, optax.adam(0.01), 200 if quick else 500,
              callback_every=250)
-    r2 = bfgs_minimize(loss, r1.params, maxiters=200 if quick else 1000,
-                       initial_stepnorm=0.01)
+    # BFGS restart rounds instead of one long program: a fresh Hessian at the
+    # stalled point escapes f32 line-search stalls (run-to-run TPU variance
+    # left the exposure net ~10× above its reachable loss in single-shot
+    # runs), and ≤250-iteration device programs stay watchdog-safe
+    params, best = r1.params, float("inf")
+    for _ in range(1 if quick else 5):
+        r2 = bfgs_minimize(loss, params, maxiters=200 if quick else 250,
+                           initial_stepnorm=0.01)
+        params = r2.params
+        v = float(r2.value)
+        if v >= 0.99 * best:
+            break
+        best = v
     print(f"{tag}: adam {r1.final_loss:.3e} → bfgs {float(r2.value):.3e} "
           f"({time.time()-t0:.0f}s)")
-    return r2.params
+    return params
 
 
 def main(quick=False, plot=False):
@@ -136,6 +147,8 @@ def main(quick=False, plot=False):
     err = float(jnp.abs(rec.ys[:, 1:4] - truth60.ys[:, 1:4]).max()) / scale
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "
           f"rel err on E,I,R = {err:.3f}")
+    if not quick:
+        assert err < 0.5, f"recovered model must extrapolate (rel err {err:.2f})"
 
     if plot:
         # seir_exposure.jl figure analogues: the learned exposure term vs
