@@ -16,7 +16,6 @@ Run on a TPU host: python benchmarks/pallas_rhs_bench.py [--sizes 1024,8192]
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -30,18 +29,15 @@ from universal_differential_equations_tpu.ops import (
     make_pointwise_mlp_params,
     updet_rhs_xla,
 )
-from universal_differential_equations_tpu.utils import enable_compilation_cache
+from universal_differential_equations_tpu.utils import (
+    benchmark,
+    enable_compilation_cache,
+)
 
 
 def _time(fn, *args, repeats=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+    stats = benchmark(fn, *args, repeats=repeats, warmup=2)
+    return stats["min_s"], fn(*args)
 
 
 def _f64_reference(u, taps, d0, mlp):

@@ -138,6 +138,10 @@ def row_rt_step(quick):
     )
 
     per = rt_step_seconds(N=(32, 2, 32) if quick else (128, 2, 128))
+    if quick:  # 64× fewer cells than the baseline grid — not comparable
+        return dict(metric="rt_datagen_ms_per_step_32cubed_smoke",
+                    value=round(per * 1e3, 3), unit="ms",
+                    baseline="n/a", vs_baseline="n/a")
     return dict(metric="rt_datagen_ms_per_step", value=round(per * 1e3, 3),
                 unit="ms", baseline=8.5,
                 vs_baseline=round(8.5e-3 / per, 1))

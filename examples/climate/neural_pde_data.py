@@ -115,7 +115,11 @@ def main():
         from universal_differential_equations_tpu import viz
 
         outdir = os.path.join(os.path.dirname(__file__), "plots")
-        extent = (tspan[0], tspan[1], 0.0, 1.0)
+        # physical vertical coordinate: coarse-grained interior levels of the
+        # centered RT domain (matches data_generation.py's rt_averages.pdf)
+        zc = np.asarray(coarse_grain(np.asarray(z)[None, :],
+                                     z.shape[0] // n_grid))[0]
+        extent = (tspan[0], tspan[1], float(zc[1]), float(zc[-2]))
         viz.save(viz.plot_field(np.asarray(data).T, extent,
                                 title="b̄(z, t) data (interior levels)",
                                 ylabel="z", cbar_label="b̄"),

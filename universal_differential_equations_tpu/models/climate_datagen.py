@@ -225,22 +225,16 @@ def rt_step_seconds(
 
     Reference: ≈7-10 ms/step at 128×2×128 after warmup
     (``Climate/DataGeneration/output.txt`` progress lines).  Times the
-    jitted ``ni``-step chunk post-compile and returns seconds per step.
+    jitted ``ni``-step chunk post-compile (``utils.benchmark`` min-of-repeats)
+    and returns seconds per step.
     """
-    import time
+    from ..utils import benchmark
 
     state, _, chunk, dx = _rt_stepper(
         N, (1.0, N[1] / N[0], 1.0), 1e-4, 1e-4, 1.0, ni, None, dtype)
     dt = jnp.asarray(1e-4, dtype)
-    state, umax = chunk(state, dt)  # compile + warm
-    jax.block_until_ready(umax)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state, umax = chunk(state, dt)
-        jax.block_until_ready(umax)
-        best = min(best, (time.perf_counter() - t0) / ni)
-    return best
+    stats = benchmark(chunk, state, dt, repeats=repeats, warmup=1)
+    return stats["min_s"] / ni
 
 
 def rayleigh_taylor_3d(

@@ -68,7 +68,12 @@ def initialize_distributed(
     global _INITIALIZED
     if _INITIALIZED:
         return True
-    explicit = coordinator_address is not None
+    # any explicit argument expresses multi-process intent — silently
+    # no-opping on (num_processes, process_id) alone would leave every host
+    # running an independent single-process job
+    explicit = any(
+        v is not None for v in (coordinator_address, num_processes, process_id)
+    )
     opted_in = bool(os.environ.get(_OPT_IN_ENV))
     if not explicit and not opted_in:
         return False

@@ -30,7 +30,10 @@ import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg")
+# headless hosts get Agg; an interactive session's chosen backend (GUI or
+# notebook inline) is left untouched
+if not os.environ.get("MPLBACKEND") and not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.colors import LinearSegmentedColormap  # noqa: E402
 
@@ -59,7 +62,9 @@ DIV_CMAP = LinearSegmentedColormap.from_list(
     "ude_div", ["#1f5ba8", "#7ea7dd", "#f0efe9", "#f09d77", "#c24a20"]
 )
 
-plt.rcParams.update({
+# Applied per-figure via rc_context in the helpers — importing this module
+# must not restyle a user's unrelated figures (process-global rcParams).
+_RC = {
     "figure.dpi": 130,
     "font.size": 9,
     "axes.edgecolor": _MUTED,
@@ -70,8 +75,11 @@ plt.rcParams.update({
     "axes.titlesize": 10,
     "axes.titleweight": "semibold",
     "legend.frameon": False,
-    "savefig.bbox": "tight",
-})
+}
+
+
+def _ctx():
+    return plt.rc_context(_RC)
 
 
 def style_axes(ax):
@@ -86,8 +94,9 @@ def style_axes(ax):
 
 
 def new_figure(width=5.2, height=3.2):
-    fig, ax = plt.subplots(figsize=(width, height))
-    style_axes(ax)
+    with _ctx():
+        fig, ax = plt.subplots(figsize=(width, height))
+        style_axes(ax)
     return fig, ax
 
 
@@ -95,7 +104,7 @@ def save(fig, path):
     """Write the figure (directories created; format from the suffix)."""
     path = Path(path)
     os.makedirs(path.parent, exist_ok=True)
-    fig.savefig(path)
+    fig.savefig(path, bbox_inches="tight")
     plt.close(fig)
     return path
 
@@ -148,8 +157,10 @@ def plot_loss_history(losses, stages=None, title="training loss", ax=None):
         fig, ax = new_figure()
     else:
         fig = ax.figure
-    losses = np.asarray(losses)
-    losses = losses[np.isfinite(losses)]
+    losses = np.array(losses, dtype=float)
+    # non-finite entries become gaps, keeping x = iteration index so the
+    # stage spans below stay aligned
+    losses[~np.isfinite(losses)] = np.nan
     ax.semilogy(np.arange(losses.size), losses, color=SERIES[0],
                 linewidth=1.4, zorder=3)
     if stages:
@@ -172,7 +183,8 @@ def plot_field(field, extent, title=None, xlabel="t", ylabel="x",
     and `npde.jl` surface/contour figures).  Sequential single-hue ramp by
     default; set ``diverging=True`` for signed fields (neutral midpoint)."""
     if ax is None:
-        fig, ax = plt.subplots(figsize=(5.0, 3.0))
+        with _ctx():
+            fig, ax = plt.subplots(figsize=(5.0, 3.0))
     else:
         fig = ax.figure
     field = np.asarray(field)
@@ -234,8 +246,9 @@ def animate_profiles(path, coord, truth, pred=None, ts=None, fps=12,
     truth = np.asarray(truth)
     stride = max(1, truth.shape[0] // max_frames)
     idx = np.arange(0, truth.shape[0], stride)
-    fig, ax = plt.subplots(figsize=(3.6, 3.6))
-    style_axes(ax)
+    with _ctx():
+        fig, ax = plt.subplots(figsize=(3.6, 3.6))
+        style_axes(ax)
     lo = min(truth.min(), np.asarray(pred).min() if pred is not None else np.inf)
     hi = max(truth.max(), np.asarray(pred).max() if pred is not None else -np.inf)
     pad = 0.05 * (hi - lo + 1e-12)
