@@ -137,7 +137,9 @@ def row_rt_step(quick):
         rt_step_seconds,
     )
 
-    per = rt_step_seconds(N=(32, 2, 32) if quick else (128, 2, 128))
+    # ni=200 steps per device program: per-dispatch latency on a tunneled
+    # TPU is ~25 ms, which would otherwise dominate the per-step time
+    per = rt_step_seconds(N=(32, 2, 32) if quick else (128, 2, 128), ni=200)
     if quick:  # 64× fewer cells than the baseline grid — not comparable
         return dict(metric="rt_datagen_ms_per_step_32cubed_smoke",
                     value=round(per * 1e3, 3), unit="ms",

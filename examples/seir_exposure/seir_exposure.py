@@ -116,16 +116,51 @@ def main(quick=False, plot=False):
     # skip the early zero-state samples like the reference ([5:end]/[2:end])
     res_ideal = sd.sindy(sd.DirectDataDrivenProblem(feats[4:], L_true[4:, None]),
                          basis, sd.STLSQ(lams), normalize=True, exhaustive_k=2)
-    # S/N barely moves over 21 days, so {u2, u1·u2, u1²·u2, sin(u2)} are
-    # nearly collinear on-data; a generous parsimony tolerance collapses to
-    # the sparsest equivalent, which is what extrapolates
-    res_ude = sd.sindy(sd.DirectDataDrivenProblem(feats_h[1:], L_hat[1:, None]),
-                       basis, sd.STLSQ(lams), normalize=True,
-                       sampler=sd.DataSampler(4), cv_tolerance=25.0,
-                       exhaustive_k=2)
+    # Parsimony ladder with simulation validation.  The NN reconstruction
+    # carries a few-percent *smooth* error that dense trig models can fit
+    # consistently across CV folds, so held-out error alone over-selects
+    # (and dense trig models diverge once the states leave the data range).
+    # The reference accepted its sparse model by checking the simulation
+    # (seir_exposure.jl:232-249); automated here: sweep the tolerance,
+    # re-simulate each recovered model over the training window, keep the
+    # sparsest one that reproduces E,I,R within 10%.
+    truth_scale = float(jnp.abs(truth.ys[:, 1:4]).max())
+
+    def sim_rel_err(res):
+        rr = seir.make_recovered_rhs(res)
+        s21 = ude.solve(
+            rescale_problem(
+                ude.ODEProblem(rr, seir.U0_NORM, (0.0, 21.0),
+                               jnp.asarray(res.parameters())), SCALES
+            ),
+            ude.Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
+            adjoint=ude.NoAdjoint(), max_steps=1024,
+        )
+        ok = bool(s21.success) and bool(jnp.all(jnp.isfinite(s21.ys)))
+        if not ok:
+            return float("inf")
+        ys = s21.ys / SCALES[None, :]
+        return float(jnp.abs(ys[:, 1:4] - truth.ys[:, 1:4]).max()) / truth_scale
+
+    candidates = []
+    for tol in (25.0, 100.0, 400.0, 1600.0):
+        r = sd.sindy(sd.DirectDataDrivenProblem(feats_h[1:], L_hat[1:, None]),
+                     basis, sd.STLSQ(lams), normalize=True,
+                     sampler=sd.DataSampler(4), cv_tolerance=tol,
+                     exhaustive_k=2)
+        if r.parameters().size == 0:
+            continue
+        candidates.append((int(r.sparsity[0]), sim_rel_err(r), tol, r))
+    assert candidates, "UDE recovery must find a model"
+    fitting = [c for c in candidates if c[1] < 0.10]
+    chosen = min(fitting, key=lambda c: (c[0], c[1])) if fitting else \
+        min(candidates, key=lambda c: c[1])
+    k_sel, rel_sel, tol_sel, res_ude = chosen
+    print(f"selection: k={k_sel} terms, train-window rel err {rel_sel:.3f} "
+          f"(cv_tolerance {tol_sel:g}; "
+          f"candidates {[(c[0], round(c[1], 3)) for c in candidates]})")
     print("ideal-recovery:", res_ideal.equations("dz")[0][:100])
     print("UDE-recovery:  ", res_ude.equations("dz")[0][:100])
-    assert res_ude.parameters().size >= 1, "UDE recovery must find a model"
 
     # recovered model extrapolation to day 60 (seir_exposure.jl:248-253)
     ts60 = jnp.arange(0.0, 60.1, 1.0)
