@@ -1,0 +1,79 @@
+"""FENE-P micro-benchmark: UDE surrogate solve vs exact DAE solve.
+
+The reference commits a ``@btime`` harness comparing the trained 1-state
+UDE surrogate against the full 6-equation FENE-P DAE solve
+(``NonNewtonianFluids/FENEP.jl:127-139``; numbers were never recorded
+in-repo — BASELINE.md row 9).  This reproduces the comparison on TPU: one
+periodic strain cycle, matched tolerances, chained solves per device
+program to amortize dispatch latency.
+
+Prints one JSON line:
+  {"surrogate_us_per_solve", "dae_us_per_solve", "speedup"}
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.models import fenep
+from universal_differential_equations_tpu.solvers.bdf import daeint
+from universal_differential_equations_tpu.utils import (
+    benchmark,
+    enable_compilation_cache,
+)
+
+T_END = 6.2831  # one 2π strain cycle (FENEP.jl:88)
+
+
+def main():
+    enable_compilation_cache()
+    ts = jnp.linspace(0.0, T_END, 50)
+
+    # exact DAE (the ground-truth generator; IDA role).  find_sigma_exact is
+    # a host-side driver (x64-host dispatch inside), so it is timed at the
+    # host level rather than through utils.benchmark's jit wrapper.
+    import time
+
+    def time_host(fn, repeats=5):
+        jax.block_until_ready(fn())  # warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_dae = time_host(
+        lambda: fenep.find_sigma_exact(ts, lambda t: 12.0 * jnp.cos(t))[0])
+
+    # trained-architecture UDE surrogate (untrained weights time identically)
+    f1, f0, params = fenep.make_surrogate(jax.random.PRNGKey(0))
+
+    def surrogate_once(_):
+        def rhs(t, u, p):
+            gd = 12.0 * jnp.cos(t)
+            return f1.apply(p["f1"], jnp.concatenate([u, gd[None]]))
+
+        sol = ude.solve(ude.ODEProblem(rhs, jnp.zeros(1), (0.0, T_END), params),
+                        ude.Tsit5(), saveat=ts, rtol=1e-5, atol=1e-7,
+                        adjoint=ude.NoAdjoint(), max_steps=256)
+        gd = 12.0 * jnp.cos(ts)
+        inp = jnp.stack([sol.ys[:, 0], gd], axis=1)
+        tau = jax.vmap(lambda x: f0.apply(params["f0"], x)[0])(inp)
+        return tau.sum()
+
+    t_sur = benchmark(surrogate_once, 0.0, repeats=5)["min_s"]
+    print(json.dumps({
+        "surrogate_us_per_solve": round(t_sur * 1e6, 1),
+        "dae_us_per_solve": round(t_dae * 1e6, 1),
+        "speedup": round(t_dae / t_sur, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,10 +2,13 @@
 
 End-to-end reproduction of ``LotkaVolterra/scenario_1.jl`` on TPU:
 truth at Vern7/1e-12 → 5e-3 mean-proportional noise → UDE with 2→5→5→5→2
-RBF MLP learning the interaction terms → ADAM → BFGS → SINDy (poly deg 5 +
-sin, STLSQ λ-sweep) → recovered-parameter refit → extrapolation to t = 50.
+RBF MLP learning the interaction terms → ADAM → BFGS (f32 on device, then
+float64 on the host CPU — the reference trains in Float64 and f32 line
+searches stall well above the noise floor) → SINDy (poly deg 5 + sin,
+STLSQ λ-sweep) with simulation-validated sparse selection →
+recovered-parameter refit → extrapolation to t = 50.
 
-Run: python examples/lotka_volterra/scenario_1.py [--quick]
+Run: python examples/lotka_volterra/scenario_1.py [--quick] [--cpu] [--plot]
 """
 import argparse
 import sys
