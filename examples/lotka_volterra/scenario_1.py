@@ -54,10 +54,11 @@ def main(quick=False, plot=False):
     kd, kn = jax.random.split(key)
 
     # -- data generation (scenario_1.jl:40-53)
-    ts, X_true, X_noisy = lv.generate_data(
-        kd, rtol=1e-10 if jnp.zeros(()).dtype == jnp.float32 else 1e-12,
-        atol=1e-10 if jnp.zeros(()).dtype == jnp.float32 else 1e-12,
-    )
+    # f32 data-gen tolerance: 1e-8 is the reliably-reachable f32 floor on
+    # TPU (1e-10 marginally fails there) and is 6 orders below the 5e-3
+    # noise that defines the problem; x64 runs keep the reference's 1e-12
+    tol = 1e-8 if jnp.zeros(()).dtype == jnp.float32 else 1e-12
+    ts, X_true, X_noisy = lv.generate_data(kd, rtol=tol, atol=tol)
     print(f"data: {X_noisy.shape[0]} samples on t∈[{float(ts[0])}, {float(ts[-1])}]")
 
     # -- UDE definition (scenario_1.jl:59-73)
@@ -208,7 +209,16 @@ def main(quick=False, plot=False):
              for k2, col2 in opts[1]]
     Cs = jnp.asarray(np.stack([np.stack([c1, c2], -1)
                                for _, c1, _, c2 in pairs]), jnp.float32)
-    rels = np.asarray(simulate_rel(Cs))
+    # ≤24 vmapped lanes per dispatch: larger single programs trip the TPU
+    # runtime watchdog (same budget the 500-run ensemble uses); pad the tail
+    # chunk so every dispatch reuses one compiled program
+    n_pairs = Cs.shape[0]
+    pad = (-n_pairs) % 24
+    Cs_p = jnp.concatenate([Cs, jnp.zeros((pad, m, 2), Cs.dtype)]) if pad else Cs
+    rels = np.concatenate([
+        np.asarray(simulate_rel(Cs_p[i:i + 24]))
+        for i in range(0, Cs_p.shape[0], 24)
+    ])[:n_pairs]
 
     # shortlist by window simulation, then judge by REFIT loss: on a short
     # window, near-collinear wrong supports (−6.7·u1³·u2) can re-simulate
@@ -221,18 +231,25 @@ def main(quick=False, plot=False):
     short = [i for i in order if np.isfinite(rels[i])
              and len(pairs[i][0]) + len(pairs[i][2]) <= 6][:16]
 
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    SUB = 4  # fixed Tsit5 substeps per save interval — the run_loops lane
+    # solver: adaptive stepping inside vmapped BFGS builds programs big
+    # enough to trip the TPU watchdog, and 4 substeps resolve the LV
+    # dynamics below the f32 floor
+    n_sub = (len(ts) - 1) * SUB
+
     @jax.jit
     @jax.vmap
     def refit_pair(C0):
         mask = (C0 != 0.0).astype(C0.dtype)
 
         def loss_pair(C):
-            sol_c = ude.solve(
-                ude.ODEProblem(dense_rhs, u0, (t0f, t1f), C * mask),
-                ude.Tsit5(), saveat=ts, rtol=1e-6, atol=1e-6,
-                adjoint=ude.DiscreteAdjoint(), max_steps=256,
-            )
-            return jnp.mean((sol_c.ys - X_noisy) ** 2)
+            _, ys = integrate_fixed(dense_rhs, u0, t0f, t1f, C * mask,
+                                    ude.Tsit5(), n_sub)
+            return jnp.mean((ys[::SUB] - X_noisy) ** 2)
 
         r = bfgs_minimize(loss_pair, C0, maxiters=150,
                           initial_stepnorm=0.01)

@@ -177,7 +177,9 @@ def main(quick=False, plot=False):
     truth60 = ude.solve(
         ude.ODEProblem(seir.corona_rhs, seir.U0_NORM, (0.0, 60.0), seir.P_SEIR),
         ude.Vern7(), saveat=ts60, rtol=1e-10, atol=1e-12, adjoint=ude.NoAdjoint(),
+        max_steps=16384,
     )
+    assert bool(truth60.success), "day-60 truth solve must converge"
     scale = float(jnp.abs(truth60.ys[:, 1:4]).max())
     err = float(jnp.abs(rec.ys[:, 1:4] - truth60.ys[:, 1:4]).max()) / scale
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "

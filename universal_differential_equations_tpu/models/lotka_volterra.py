@@ -58,6 +58,9 @@ def generate_data(
                       jnp.asarray(p, fdtype))
     sol = solve(prob, Vern7(), saveat=ts, rtol=rtol, atol=atol,
                 adjoint=NoAdjoint(), step_to_saveat=True)
+    assert bool(sol.success), (
+        f"truth generation failed at rtol={rtol} (f32 cannot reach "
+        "1e-12-class tolerances — lower them or enable x64)")
     X = sol.ys
     x_mean = jnp.mean(X, axis=0)
     noise = noise_magnitude * x_mean * jax.random.normal(key, X.shape, X.dtype)
