@@ -92,19 +92,25 @@ def main():
         with jax.default_matmul_precision("bfloat16"):
             xla = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
             t_x, out_x = _time(xla, u, t_null)
+        with jax.default_matmul_precision("float32"):
+            xla32 = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
+            t_x32, out_x32 = _time(xla32, u, t_null)
         t_p, out_p = _time(pal, u, t_null)
         ref = _f64_reference(u, taps, d0, mlp)
         scale = np.abs(ref).max()
         err_p = float(np.abs(np.asarray(out_p, np.float64) - ref).max() / scale)
         err_x = float(np.abs(np.asarray(out_x, np.float64) - ref).max() / scale)
+        err_x32 = float(np.abs(np.asarray(out_x32, np.float64) - ref).max() / scale)
         print(json.dumps({
             "n": n,
             "pallas_us": round(t_p * 1e6, 2),
-            "xla_us": round(t_x * 1e6, 2),
-            "speed_ratio": round(t_x / t_p, 2),
+            "xla_bf16_us": round(t_x * 1e6, 2),
+            "xla_f32_us": round(t_x32 * 1e6, 2),
+            "vs_bf16_speed": round(t_x / t_p, 2),
+            "vs_f32_speed": round(t_x32 / t_p, 2),
             "pallas_relerr": float(f"{err_p:.3g}"),
             "xla_bf16_relerr": float(f"{err_x:.3g}"),
-            "accuracy_ratio": float(f"{err_x / max(err_p, 1e-30):.3g}"),
+            "xla_f32_relerr": float(f"{err_x32:.3g}"),
         }))
 
 
