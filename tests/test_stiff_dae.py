@@ -283,3 +283,23 @@ def test_fenep_truth_against_ida_role():
     assert bool(ok2)
     slope = float((s_fine[1] - s_fine[0]) / (ts_fine[1] - ts_fine[0]))
     assert abs(slope - 24.0) / 24.0 < 0.05
+
+
+@pytest.mark.parametrize("solver_name", ["Kvaerno3", "SDIRK4"])
+def test_esdirk_vmaps_over_ensemble(solver_name):
+    # the DIRK Newton/LU machinery must batch over the ensemble axis (C24)
+    solver = getattr(ude, solver_name)()
+
+    def run(k1):
+        prob = ude.ODEProblem(
+            lambda t, y, a: jnp.array([-a * y[0], a * y[0] - 1e3 * y[1]]),
+            jnp.array([1.0, 0.0]), (0.0, 1.0), k1)
+        sol = ude.solve(prob, solver, rtol=1e-6, atol=1e-9,
+                        adjoint=ude.NoAdjoint(), max_steps=256)
+        return sol.y_final, sol.success
+
+    ks = jnp.linspace(0.3, 0.8, 6)
+    ys, ok = jax.vmap(run)(ks)
+    assert bool(ok.all())
+    np.testing.assert_allclose(np.asarray(ys[:, 0]), np.exp(-np.asarray(ks)),
+                               rtol=1e-5)
