@@ -35,7 +35,7 @@ enable_compilation_cache()
 BASELINES = {"fourier": 236.8, "small": 2508.0, "mlp": None}
 
 
-def train_once(seed, variant, ts, data, quick=False):
+def train_once(seed, variant, ts, data, quick=False, dashboard=None):
     """Train to the reference's exit criterion (loss < 0.01).
 
     The trajectory loss is an explicit residual sum, so Levenberg-Marquardt
@@ -64,7 +64,8 @@ def train_once(seed, variant, ts, data, quick=False):
         # reach a Gauss-Newton basin (the reference's small-MLP runs at times
         # never converge at all — Fisher-KPP-CNN-Small.jl:370-390)
         warm = fit(loss, params, optax.adam(0.01), 150 if quick else 500,
-                   callback_every=100, early_stop_loss=0.01)
+                   callback=dashboard, callback_every=100,
+                   early_stop_loss=0.01)
         params = warm.params
     res = levenberg_marquardt(
         residuals, params, maxiters=30 if quick else 100, loss_tol=0.01,
@@ -123,9 +124,28 @@ def main(variant="fourier", runs=1, quick=False, plot=False):
     ts, data = fk.generate_data()
     print(f"data: {data.shape} snapshots (Nx={fk.NX})")
 
+    dashboard = None
+    if plot and variant != "fourier":
+        # the reference's live training dashboard (Fisher-KPP-CNN.jl:163-233):
+        # rewritten on every callback window during the ADAM warmup
+        from universal_differential_equations_tpu import viz
+
+        def panel(ax, step, params):
+            w = np.asarray(params["w"])
+            ax.bar([0, 1, 2], w, color=viz.SERIES[0])
+            ax.set_xticks([0, 1, 2])
+            ax.set_xticklabels(["w₋₁", "w₀", "w₊₁"])
+            ax.set_title(f"stencil (Σw = {w.sum():+.1e}), "
+                         f"D0 = {float(params['D0']):.2f}", fontsize=8)
+
+        dashboard = viz.TrainingDashboard(
+            Path(__file__).resolve().parent / "plots" / "dashboard.png",
+            panel=panel, title=f"fisher-kpp {variant}")
+
     walls, losses = [], []
     for run in range(runs):
-        params, final, wall = train_once(run, variant, ts, data, quick)
+        params, final, wall = train_once(run, variant, ts, data, quick,
+                                         dashboard=dashboard)
         walls.append(wall)
         losses.append(final)
         w = np.asarray(params["w"])

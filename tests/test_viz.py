@@ -75,3 +75,21 @@ def test_success_rates_labels(tmp_path):
         ["0.001", "0.005", "0.01"]
     p = viz.save(fig, tmp_path / "sr.pdf")
     assert p.stat().st_size > 1000
+
+
+def test_training_dashboard_callback(tmp_path):
+    # fit-protocol callback: rewrites the dashboard file on every call and
+    # never requests an early stop
+    calls = []
+
+    def panel(ax, step, params):
+        calls.append(step)
+        ax.plot([0, 1], [0, params], color=viz.SERIES[1])
+
+    dash = viz.TrainingDashboard(tmp_path / "dash.png", panel=panel)
+    assert dash(50, 1.0, 0.5) is False
+    size1 = (tmp_path / "dash.png").stat().st_size
+    assert dash(100, 0.1, 0.7) is False
+    assert (tmp_path / "dash.png").stat().st_size > 1000 and size1 > 1000
+    assert calls == [50, 100]
+    assert dash.losses == [1.0, 0.1]

@@ -41,6 +41,7 @@ __all__ = [
     "SERIES", "style_axes", "new_figure", "save",
     "plot_timeseries", "plot_loss_history", "plot_field",
     "plot_function_comparison", "plot_success_rates", "animate_profiles",
+    "TrainingDashboard",
 ]
 
 # Fixed categorical order — CVD-validated (worst adjacent-pair ΔE 9.1 on a
@@ -231,6 +232,49 @@ def plot_function_comparison(x, learned, true_vals, labels=("learned", "true"),
         ax.set_title(title)
     ax.legend(fontsize=8)
     return fig
+
+
+class TrainingDashboard:
+    """Live training dashboard as a ``fit`` callback (the reference's
+    in-loop matplotlib dashboard, `Fisher-KPP-CNN.jl:163-233`): every
+    invocation rewrites ``<path>`` with the loss history plus an optional
+    user panel (e.g. current prediction vs data, stencil weights).
+
+    ``panel(ax, step, params)`` draws the right-hand panel; headless-safe
+    (file-based "live" view — tail it with any image viewer).
+
+    >>> dash = TrainingDashboard("plots/dashboard.png", panel=draw_fit)
+    >>> fit(loss, p0, optax.adam(1e-3), 1000, callback=dash,
+    ...     callback_every=50)
+    """
+
+    def __init__(self, path, panel=None, title="training"):
+        self.path = Path(path)
+        self.panel = panel
+        self.title = title
+        self.steps = []
+        self.losses = []
+
+    def __call__(self, step, loss, params):
+        self.steps.append(int(step))
+        self.losses.append(float(loss))
+        with _ctx():
+            ncols = 2 if self.panel is not None else 1
+            fig, axes = plt.subplots(1, ncols, figsize=(4.2 * ncols, 3.0))
+            axes = np.atleast_1d(axes)
+            style_axes(axes[0])
+            ls = np.array(self.losses, dtype=float)
+            ls[~np.isfinite(ls)] = np.nan
+            axes[0].semilogy(self.steps, ls, color=SERIES[0], linewidth=1.4)
+            axes[0].set_xlabel("step")
+            axes[0].set_ylabel("loss")
+            axes[0].set_title(f"{self.title} — step {step}, "
+                              f"loss {loss:.3e}", fontsize=9)
+            if self.panel is not None:
+                style_axes(axes[1])
+                self.panel(axes[1], step, params)
+            save(fig, self.path)
+        return False  # never requests an early stop
 
 
 def animate_profiles(path, coord, truth, pred=None, ts=None, fps=12,
