@@ -123,12 +123,15 @@ def main(quick=False, plot=False):
           f"{float(res2.value):.8f} in {train_s:.1f}s")
 
     # -- SINDy recovery on the learned interactions (scenario_1.jl:155-172).
-    # The trained NN matches the true interactions only to a few percent
-    # (it absorbs measurement noise), and the CV parsimony tolerance that
-    # collapses that structured error to the sparse truth varies per
-    # equation and per run.  So: sweep the tolerance ladder, then select
-    # the per-equation pair whose *re-simulated* recovered model reproduces
-    # the data — the automated version of the reference's visual check.
+    # The trained NN matches the true interactions only to a fraction of a
+    # percent, but that residual is *structured*, so purely statistical
+    # selection (CV folds, AICc) over-selects and near-collinear supports
+    # tie.  Three-stage selection instead: (1) candidate supports from a
+    # cv-tolerance ladder plus exhaustive small-support least squares,
+    # (2) window re-simulation of every pair (vmapped) to shortlist,
+    # (3) a vmapped per-support refit against the data — the wrong
+    # structures stall ~200× above the noise floor, the true one reaches it.
+    # This is the automated version of the reference's visual check.
     import dataclasses as _dc
 
     X_hat = predict(res2.params)
