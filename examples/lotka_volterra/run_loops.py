@@ -171,7 +171,7 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
     print(f"plots written to {outdir}")
 
 
-def main(runs_per_level=100, plot=False):
+def main(runs_per_level=100, plot=False, resume=True):
     n_levels = len(NOISE_LEVELS)
     n_runs = n_levels * runs_per_level
     ts, X, _ = lv.generate_data(jax.random.PRNGKey(0), rtol=1e-7, atol=1e-9)
@@ -240,10 +240,20 @@ def main(runs_per_level=100, plot=False):
     m = len(basis)
     masks1 = jnp.eye(m, dtype=bool)
     opt_s = STLSQ(LAMS)
+    alpha, delta = float(lv.P_TRUE[0]), float(lv.P_TRUE[3])
+    x_mean_sq = float(jnp.mean(x_mean**2))
+    K_SEL = 5  # parsimony-ladder rungs (support sizes 1..5) per equation
+
+    def dense_rhs(t, u, C):
+        # recovered_dynamics! (scenario_1.jl:183-186): known linear terms
+        # retained, sparse interactions from the dense coefficient matrix
+        th = basis.theta(u[None, :])[0]
+        return jnp.stack([alpha * u[0] + th @ C[:, 0],
+                          -delta * u[1] + th @ C[:, 1]])
 
     @jax.jit
     @jax.vmap
-    def recover_stage(theta, data, final_loss):
+    def recover_stage(theta, data, final_loss, mag):
         _, ys_fixed = integrate_fixed(rhs, data[0], 0.0, t_end,
                                       unravel(theta), ude.Tsit5(), n_step)
         Xh = ys_fixed[::SUB]
@@ -251,7 +261,8 @@ def main(runs_per_level=100, plot=False):
         theta_feat = basis.theta(Xh)
         N = Xh.shape[0]
         fsc = jnp.linalg.norm(theta_feat, axis=0) / jnp.sqrt(1.0 * N)
-        th_n = theta_feat / jnp.where(fsc > 0, fsc, 1.0)
+        fsc = jnp.where(fsc > 0, fsc, 1.0)
+        th_n = theta_feat / fsc
         folds = jnp.asarray(sd.DataSampler(4).masks(N), jnp.float32)
 
         def candidates(gram, corr):
@@ -260,11 +271,11 @@ def main(runs_per_level=100, plot=False):
             return (jnp.concatenate([xi, jnp.where(masks1, xi1, 0.0)]),
                     jnp.concatenate([active, masks1]))
 
-        def recover_eq(y):
+        def ladder(y):
+            """Best candidate per support size 1..K_SEL, CV-scored."""
             ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
             yn = y / ysc
             xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
-            ks = active.sum(axis=1)
 
             def fold(wb):
                 keep = 1.0 - wb
@@ -274,28 +285,53 @@ def main(runs_per_level=100, plot=False):
                 return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
 
             cv = jax.vmap(fold)(folds).mean(axis=0)
-            # generous parsimony: f32 fits leave ~1% NN error that dense
-            # models chase
-            ok = cv <= 10.0 * jnp.min(cv)
-            kmin = jnp.min(jnp.where(ok, ks, jnp.iinfo(jnp.int32).max))
-            best = jnp.argmin(jnp.where(ok & (ks == kmin), cv,
-                                        jnp.asarray(jnp.inf, cv.dtype)))
-            return active[best], xi[best] * ysc / fsc
+            return sd.best_per_support(xi * ysc / fsc, active, cv, K_SEL)
 
-        act1, c1 = recover_eq(Yh[:, 0])
-        act2, c2 = recover_eq(Yh[:, 1])
+        # CV ranks candidates *within* each support size; the cross-size
+        # choice is made by re-simulating every rung pair through the ODE
+        # and REFIT-judging one finalist per total support size
+        # (sindy/select.py — the automated version of the reference's
+        # visual check, scenario_1.jl:193-207): wrong structures stall far
+        # above the noise floor mag²·E[x̄²] once their coefficients are
+        # optimized against the data, the true one reaches it.  Budget:
+        # 4 finalists × 60 BFGS iters per lane (watchdog-safe at 25 lanes).
+        C_sel, rel, _ = sd.select_by_simulation(
+            [ladder(Yh[:, 0]), ladder(Yh[:, 1])], dense_rhs, data[0],
+            0.0, t_end, data, ude.Tsit5(), n_step, sub=SUB,
+            rel_factor=1.5, max_rel=1.0, refit_iters=60,
+            loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
+            max_total_support=5)
+        act1 = C_sel[:, 0] != 0.0
+        act2 = C_sel[:, 1] != 0.0
         want = jnp.zeros(m, bool).at[i_xy].set(True)
-        fit_ok = jnp.isfinite(final_loss) & (final_loss < 1e-3)
+        # "trained" gate: the mean-squared residual of a perfect fit against
+        # noisy data is the noise floor mag²·E[x̄²] — the old absolute 1e-3
+        # cut rejected true recoveries at 5e-2 noise where the floor is
+        # ~1.6e-2 (run_loops.jl counts a run failed only if training threw)
+        fit_ok = jnp.isfinite(final_loss) & (
+            final_loss < jnp.maximum(1e-3, 4.0 * mag**2 * x_mean_sq))
         exact = jnp.all(act1 == want) & jnp.all(act2 == want) & fit_ok
         contains = act1[i_xy] & act2[i_xy] & fit_ok
-        return exact, contains, fit_ok, c1, c2
+        return exact, contains, fit_ok, C_sel[:, 0], C_sel[:, 1]
 
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
           f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
           f"BFGS rounds", flush=True)
+    # Per-chunk group-append checkpointing (loop_recoveries.jl:132-140 —
+    # the reference appends each run to the shared JLD2 inside the loop, so
+    # a killed study resumes where it stopped; our unit is the lane chunk).
+    arch = KeyedArchive(Path(__file__).parent / "results")
+    chunk_keys = ("exact", "contains", "fit_ok", "coef1", "coef2", "loss")
     t0 = time.time()
     results = []
     for c0 in range(0, n_runs, CHUNK):
+        gname = f"loop_chunk_r{runs_per_level}_{c0:04d}"
+        if resume and gname in arch:
+            g = arch.load(gname)
+            results.append(tuple(jnp.asarray(g[k]) for k in chunk_keys))
+            print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes resumed from "
+                  f"{gname}", flush=True)
+            continue
         sl = slice(c0, min(c0 + CHUNK, n_runs))
         theta, data = adam_stage(keys[sl], noise_mags[sl])
         loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
@@ -303,8 +339,10 @@ def main(runs_per_level=100, plot=False):
             theta, loss = bfgs_round(theta, data)
         for _ in range(LM_ROUNDS):
             theta, loss = lm_round(theta, data)
-        results.append(recover_stage(theta, data, loss) + (loss,))
+        results.append(recover_stage(theta, data, loss, noise_mags[sl])
+                       + (loss,))
         jax.block_until_ready(results[-1][0])
+        arch.save(gname, **dict(zip(chunk_keys, results[-1])))
         print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
     exact, contains, fit_ok, c1, c2, fin_loss = [
@@ -322,7 +360,6 @@ def main(runs_per_level=100, plot=False):
         print(f"{mag:8.0e} | {fit_ok[lvl].mean():8.1%} | "
               f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%}")
 
-    arch = KeyedArchive(Path(__file__).parent / "results")
     arch.save("loop_study", exact=jnp.asarray(exact),
               contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
               coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
@@ -332,8 +369,11 @@ def main(runs_per_level=100, plot=False):
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
                     fin_loss)
     low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
-    assert low_noise_rate >= 0.15, \
+    assert low_noise_rate >= 0.4, \
         f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
+    low_noise_exact = (exact[0].mean() + exact[1].mean()) / 2
+    assert low_noise_exact >= 0.3, \
+        f"low-noise exact-structure rate too low: {low_noise_exact:.0%}"
     return dict(exact=exact.mean(axis=1).tolist(),
                 contains=contains.mean(axis=1).tolist(), wall=wall)
 
@@ -345,7 +385,14 @@ if __name__ == "__main__":
                     help="write loop_evaluation.jl figure analogues")
     ap.add_argument("--plot-only", action="store_true",
                     help="re-plot from the saved archive without retraining")
+    ap.add_argument("--fresh", action="store_true",
+                    help="discard per-chunk checkpoints and recompute "
+                         "(default resumes an interrupted study, the "
+                         "loop_recoveries.jl append-mode behavior)")
     args = ap.parse_args()
+    if args.fresh:
+        for p in (Path(__file__).parent / "results").glob("loop_chunk_*.npz"):
+            p.unlink()
     if args.plot_only:
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],

@@ -172,3 +172,142 @@ def test_custom_selection_honored_with_sampler():
                       normalize=True, sampler=sd.DataSampler(4),
                       exhaustive_k=2)
     assert int(res_cv.sparsity[0]) == 1
+
+
+def test_best_per_support_ladder():
+    xi = jnp.array([
+        [1.0, 0.0, 0.0],   # k=1, score 3
+        [0.0, 2.0, 0.0],   # k=1, score 1  <- best k=1
+        [1.0, 1.0, 0.0],   # k=2, score 2  <- best k=2
+        [1.0, 1.0, 1.0],   # k=3, score inf (invalid)
+    ])
+    active = xi != 0.0
+    score = jnp.array([3.0, 1.0, 2.0, jnp.inf])
+    xi_k, ok_k = sd.best_per_support(xi, active, score, 3)
+    np.testing.assert_allclose(np.asarray(xi_k[0]), [0.0, 2.0, 0.0])
+    np.testing.assert_allclose(np.asarray(xi_k[1]), [1.0, 1.0, 0.0])
+    assert bool(ok_k[0]) and bool(ok_k[1]) and not bool(ok_k[2])
+    np.testing.assert_allclose(np.asarray(xi_k[2]), 0.0)
+
+
+def test_select_by_simulation_prefers_sparse_truth():
+    """The simulation judge (scenario_1.jl:193-207 automated): a denser
+    candidate that also re-simulates the window must lose to the sparse
+    truth; a sparse candidate that cannot re-simulate must lose to a
+    denser one that can."""
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    basis = sd.polynomial_basis(2, 2)
+    m = len(basis)
+    i_x, i_y = basis.names.index("u1"), basis.names.index("u2")
+    i_xy = basis.names.index("u1*u2")
+
+    def dense_rhs(t, u, C):
+        return basis.theta(u[None, :])[0] @ C
+
+    # truth: du1 = 1.3 u1 - 0.9 u1 u2 ; du2 = -1.8 u2 + 0.8 u1 u2
+    C_true = jnp.zeros((m, 2)).at[i_x, 0].set(1.3).at[i_xy, 0].set(-0.9) \
+        .at[i_y, 1].set(-1.8).at[i_xy, 1].set(0.8)
+    u0 = jnp.array([0.44249296, 4.6280594])
+    n_save, sub = 31, 4
+    n_steps = (n_save - 1) * sub
+    _, ys = integrate_fixed(dense_rhs, u0, 0.0, 3.0, C_true,
+                            ude.Tsit5(), n_steps)
+    data = ys[::sub]
+
+    def col(pairs):
+        c = jnp.zeros((m,))
+        for i, v in pairs:
+            c = c.at[i].set(v)
+        return c
+
+    # per-target ladders: rung k=2 is the truth; rung k=3 adds a small
+    # spurious term (still simulates fine); rung k=1 is badly wrong
+    lad1 = (jnp.stack([col([(i_x, 5.0)]),                      # k=1 wrong
+                       col([(i_x, 1.3), (i_xy, -0.9)]),        # k=2 truth
+                       col([(i_x, 1.3), (i_xy, -0.9),
+                            (i_y, 1e-4)])]),                   # k=3 denser
+            jnp.array([True, True, True]))
+    lad2 = (jnp.stack([col([(i_y, -5.0)]),
+                       col([(i_y, -1.8), (i_xy, 0.8)]),
+                       col([(i_y, -1.8), (i_xy, 0.8),
+                            (i_x, 1e-4)])]),
+            jnp.array([True, True, True]))
+    C_sel, rel, k_tot = sd.select_by_simulation(
+        [lad1, lad2], dense_rhs, u0, 0.0, 3.0, data, ude.Tsit5(),
+        n_steps, sub=sub, rel_factor=1.5, rel_floor=0.02)
+    assert int(k_tot) == 4  # 2 + 2: sparse truth beats the denser rung
+    np.testing.assert_allclose(np.asarray(C_sel), np.asarray(C_true),
+                               atol=1e-7)
+    assert float(rel) < 1e-3
+
+    # knock the truth rung out of ladder 1: the k=1 wrong candidate cannot
+    # re-simulate, so selection must fall through to the denser k=3 rung
+    lad1_no_truth = (lad1[0], jnp.array([True, False, True]))
+    C_sel2, rel2, k_tot2 = sd.select_by_simulation(
+        [lad1_no_truth, lad2], dense_rhs, u0, 0.0, 3.0, data, ude.Tsit5(),
+        n_steps, sub=sub, rel_factor=1.5, rel_floor=0.02)
+    assert bool(C_sel2[i_y, 0] != 0.0)  # the k=3 rung was chosen for eq 1
+    assert float(rel2) < 0.02
+
+
+def test_select_by_simulation_refit_judge():
+    """Refit mode: biased regression coefficients on the true support must
+    be re-optimized to the data and still win on parsimony; the selected
+    coefficients land near the truth."""
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    basis = sd.polynomial_basis(2, 2)
+    m = len(basis)
+    i_x, i_y = basis.names.index("u1"), basis.names.index("u2")
+    i_xy = basis.names.index("u1*u2")
+
+    def dense_rhs(t, u, C):
+        return basis.theta(u[None, :])[0] @ C
+
+    C_true = jnp.zeros((m, 2)).at[i_x, 0].set(1.3).at[i_xy, 0].set(-0.9) \
+        .at[i_y, 1].set(-1.8).at[i_xy, 1].set(0.8)
+    u0 = jnp.array([0.44249296, 4.6280594])
+    n_save, sub = 31, 4
+    n_steps = (n_save - 1) * sub
+    _, ys = integrate_fixed(dense_rhs, u0, 0.0, 3.0, C_true,
+                            ude.Tsit5(), n_steps)
+    data = ys[::sub]
+
+    def col(pairs):
+        c = jnp.zeros((m,))
+        for i, v in pairs:
+            c = c.at[i].set(v)
+        return c
+
+    # true supports carry a few-percent coefficient bias (the structured
+    # NN-error regime where raw simulation judging fails); denser rungs
+    # fit the window slightly better pre-refit
+    lad1 = (jnp.stack([col([(i_x, 1.25), (i_xy, -0.93)]),
+                       col([(i_x, 1.3), (i_xy, -0.9), (i_y, 1e-3)])]),
+            jnp.array([True, True]))
+    lad2 = (jnp.stack([col([(i_y, -1.85), (i_xy, 0.83)]),
+                       col([(i_y, -1.8), (i_xy, 0.8), (i_x, 1e-3)])]),
+            jnp.array([True, True]))
+
+    def shift(x):  # rung r has support size r+1; these ladders start at 2
+        return (jnp.concatenate([jnp.zeros((1, m)), x[0]]),
+                jnp.concatenate([jnp.array([False]), x[1]]))
+
+    C_sel, loss, k_tot = sd.select_by_simulation(
+        [shift(lad1), shift(lad2)], dense_rhs, u0, 0.0, 3.0, data,
+        ude.Tsit5(), n_steps, sub=sub, rel_factor=1.5, refit_iters=80,
+        loss_floor=1e-8, max_total_support=5)
+    assert int(k_tot) == 4
+    assert float(loss) < 1e-5
+    sel_active = np.asarray(C_sel != 0.0)
+    true_active = np.asarray(C_true != 0.0)
+    assert (sel_active == true_active).all()
+    np.testing.assert_allclose(np.asarray(C_sel), np.asarray(C_true),
+                               atol=2e-2)

@@ -1,0 +1,186 @@
+"""Simulation-validated sparse model selection, fully traced.
+
+The reference selects SINDy models by statistical parsimony (AICc, CV
+folds, the ``g(x)`` objectives of ``scenario_2.jl:199`` /
+``loop_recoveries.jl:104``) and then checks the winner by *re-simulating
+and plotting it against the data* (``scenario_1.jl:193-207``).  That last
+visual step carries real selection power: when the regression targets are
+a trained NN's outputs, their few-percent error is *structured* — it is
+fit consistently across CV folds, so purely statistical criteria
+over-select, and near-collinear supports (u₁·u₂ vs u₁⁴·u₂ on a short
+orbit) tie on residual.  Re-simulation through the ODE separates them.
+
+This module automates the visual check in a form that runs *inside* a
+``vmap`` lane (SURVEY.md §2.4 — the 500-run ensemble), so the whole
+candidate → simulate → select pipeline stays on device:
+
+* :func:`best_per_support` compresses a candidate grid (e.g. an STLSQ
+  λ-sweep plus exhaustive small-support fits) to the best-scoring
+  candidate at each support size — a parsimony ladder.
+* :func:`select_by_simulation` forms every cross-target combination of
+  ladder rungs, integrates each recovered model over the data window with
+  a fixed-step solver, and picks the sparsest combination whose
+  trajectory reproduces the data to within ``rel_factor`` of the best
+  (ties broken by trajectory error).  ``rel_floor`` widens the tolerance
+  band to the noise level so the truth is never out-competed by noise
+  overfitters.
+
+Everything is static-shape: candidates are fixed-size stacks, the
+combination product is a static meshgrid, and the integrator is a
+``lax.scan`` — one XLA program per ensemble chunk, no host round-trips.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.integrate import integrate_fixed
+
+__all__ = ["best_per_support", "select_by_simulation"]
+
+
+def best_per_support(xi, active, score, max_support):
+    """Best candidate at each support size 1..``max_support``.
+
+    ``xi``: (L, m) candidate coefficient rows, ``active``: (L, m) bool
+    supports, ``score``: (L,) selection score (lower is better, ``inf`` =
+    invalid).  Returns ``(xi_k, ok_k)`` with ``xi_k``: (max_support, m)
+    and ``ok_k``: (max_support,) bool — rungs with no candidate of that
+    size come back zeroed with ``ok_k=False``.
+    """
+    xi = jnp.asarray(xi)
+    ks = jnp.asarray(active).sum(axis=1)
+    score = jnp.asarray(score)
+
+    def pick(k):
+        s = jnp.where(ks == k, score, jnp.inf)
+        i = jnp.argmin(s)
+        ok = jnp.isfinite(s[i])
+        return jnp.where(ok, xi[i], 0.0), ok
+
+    return jax.vmap(pick)(jnp.arange(1, max_support + 1))
+
+
+def select_by_simulation(
+    candidates: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    dense_rhs: Callable,
+    u0,
+    t0: float,
+    t1: float,
+    data,
+    solver,
+    n_steps: int,
+    sub: int = 1,
+    rel_factor: float = 1.5,
+    rel_floor=0.0,
+    max_rel: float = 1.0,
+    refit_iters: int = 0,
+    loss_floor=0.0,
+    max_total_support: int = 0,
+):
+    """Pick the sparsest candidate combination that re-simulates ``data``.
+
+    ``candidates``: per-target ``(xi_k, ok_k)`` pairs as returned by
+    :func:`best_per_support` (coefficients in *raw* feature scale).  For T
+    targets with K rungs each, all K^T dense coefficient matrices
+    C ∈ (m, T) are integrated with ``dense_rhs(t, u, C)`` from ``u0`` over
+    ``[t0, t1]`` using ``n_steps`` fixed steps of ``solver``; every
+    ``sub``-th state is compared against ``data`` ((n_save, d), with
+    ``n_steps = (n_save - 1) * sub``).
+
+    Two judging modes:
+
+    * ``refit_iters == 0`` — regression-coefficient judging: among
+      combinations with ``rel <= max(rel_factor * min_rel, rel_floor)``
+      (and ``rel <= max_rel``), minimize total support, ties broken by
+      ``rel``.  Cheap, but at low noise the regression coefficients carry
+      the NN's structured bias, so the sparse truth can simulate *worse*
+      than a denser overfit and fall outside any sane band.
+    * ``refit_iters > 0`` — the scenario-1 refit judge
+      (``scenario_1.py``; automates ``scenario_1.jl:193-207``): the best
+      combination at each total support size 2..``max_total_support``
+      becomes a finalist, each finalist's coefficients are re-optimized
+      against the trajectory data (masked BFGS, ``refit_iters``
+      iterations), and selection runs on the *refit* mean-squared losses
+      with band ``max(rel_factor * min_loss, loss_floor)``.  A wrong
+      structure stalls orders of magnitude above the noise floor under
+      refit; the true one reaches it — pass the known noise floor
+      (mag²·E[x̄²]) as ``loss_floor``.  Keep finalists × ``refit_iters``
+      within the device watchdog budget (CLAUDE.md).
+
+    Returns ``(C, score, k_total)``: the selected (m, T) coefficient
+    matrix, its score (max-abs relative trajectory error, or refit MSE
+    when ``refit_iters > 0``), and its total support size.  Traceable
+    under ``jit``/``vmap`` (static shapes throughout).
+    """
+    u0 = jnp.asarray(u0)
+    data = jnp.asarray(data)
+    sizes = [c[0].shape[0] for c in candidates]
+    grids = jnp.meshgrid(*[jnp.arange(s) for s in sizes], indexing="ij")
+    idx = jnp.stack([g.ravel() for g in grids], axis=-1)  # (P, T)
+
+    # (P, m, T) dense coefficient stacks + validity + total support
+    Cs = jnp.stack(
+        [candidates[t][0][idx[:, t]] for t in range(len(candidates))], axis=-1
+    )
+    ok = jnp.stack(
+        [candidates[t][1][idx[:, t]] for t in range(len(candidates))], axis=-1
+    ).all(axis=-1)
+    # rung r of best_per_support has support size r+1 by construction
+    k_tot = (idx + 1).sum(axis=-1)
+
+    data_scale = jnp.max(jnp.abs(data)) + 1e-30
+
+    def sim_rel(C):
+        _, ys = integrate_fixed(dense_rhs, u0, t0, t1, C, solver, n_steps)
+        rel = jnp.max(jnp.abs(ys[::sub] - data)) / data_scale
+        return jnp.where(jnp.isfinite(rel), rel, jnp.inf)
+
+    rel = jax.vmap(sim_rel)(Cs)
+    rel = jnp.where(ok, rel, jnp.inf)
+    big = jnp.asarray(Cs.shape[0] * 10.0, rel.dtype)
+
+    if refit_iters == 0:
+        tol = jnp.maximum(rel_factor * jnp.min(rel), rel_floor)
+        fits = rel <= jnp.minimum(tol, max_rel)
+        # lexicographic (k_total, rel) over fitting combos
+        key = jnp.where(fits, k_tot * big + jnp.minimum(rel, max_rel), jnp.inf)
+        best = jnp.argmin(key)
+        return Cs[best], rel[best], k_tot[best]
+
+    from ..train import bfgs_minimize  # deferred: train is a sibling layer
+
+    T = len(candidates)
+    k_max = max_total_support or sum(sizes)
+    k_vals = jnp.arange(T, k_max + 1)
+
+    def finalist(k):
+        s = jnp.where((k_tot == k) & jnp.isfinite(rel), rel, jnp.inf)
+        i = jnp.argmin(s)
+        return Cs[i], jnp.isfinite(s[i])
+
+    C_f, ok_f = jax.vmap(finalist)(k_vals)
+
+    def refit(C0):
+        mask = (C0 != 0.0).astype(C0.dtype)
+
+        def loss(C):
+            _, ys = integrate_fixed(dense_rhs, u0, t0, t1, C * mask,
+                                    solver, n_steps)
+            return jnp.mean((ys[::sub] - data) ** 2)
+
+        r = bfgs_minimize(loss, C0, maxiters=refit_iters,
+                          initial_stepnorm=0.01)
+        val = jnp.where(jnp.isfinite(r.value), r.value, jnp.inf)
+        return val, r.params * mask
+
+    loss_f, C_ref = jax.vmap(refit)(C_f)
+    loss_f = jnp.where(ok_f, loss_f, jnp.inf)
+    tol = jnp.maximum(rel_factor * jnp.min(loss_f), loss_floor)
+    fits = loss_f <= tol
+    norm = jnp.minimum(loss_f / (jnp.min(loss_f) + 1e-30), big - 1.0)
+    key = jnp.where(fits, k_vals * big + norm, jnp.inf)
+    best = jnp.argmin(key)
+    return C_ref[best], loss_f[best], k_vals[best]
