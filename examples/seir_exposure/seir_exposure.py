@@ -37,8 +37,15 @@ enable_compilation_cache()
 SCALES = jnp.array([1.0, 1e5, 1e5, 1e5, 1.0, 1e5, 1e5])
 
 
-def train_variant(tag, rhs, params0, ts, data, quick):
-    """ADAM(0.01)→BFGS on the E,I,R rows (``seir_exposure.jl:77-96``)."""
+def train_variant(tag, rhs, params0, ts, data, quick, polish=False):
+    """ADAM(0.01)→BFGS on the E,I,R rows (``seir_exposure.jl:77-96``).
+
+    ``polish=True`` finishes the BFGS on the host CPU in float64 from the
+    ADAM point (the scenario-1 x64-host pattern).  Off by default here:
+    measured >1 h for this 7-state system (~2500 adaptive steps per
+    gradient at rtol 1e-8), and the refit_all simulation judge below
+    resolves the sin(u₂)↔u₂ alias without it.
+    """
     base = ude.ODEProblem(rhs, seir.U0_NORM, (0.0, 21.0), params0)
     prob_s = rescale_problem(base, SCALES)
     data_s = data * SCALES[None, :]
@@ -53,6 +60,32 @@ def train_variant(tag, rhs, params0, ts, data, quick):
     t0 = time.time()
     r1 = fit(loss, params0, optax.adam(0.01), 200 if quick else 500,
              callback_every=250)
+    if polish and not quick and jnp.zeros(()).dtype == jnp.float32:
+        cpu = jax.devices("cpu")[0]
+        with jax.enable_x64(True), jax.default_device(cpu):
+            to64 = lambda a: jnp.asarray(np.asarray(a), jnp.float64)
+            ts64 = to64(ts)
+            scales64 = to64(SCALES)
+            data64 = to64(data) * scales64[None, :]
+            p64 = jax.tree.map(to64, r1.params)
+            prob64 = rescale_problem(
+                ude.ODEProblem(rhs, to64(seir.U0_NORM), (0.0, 21.0), p64),
+                scales64)
+
+            def loss64(p):
+                sol = ude.solve(
+                    ude.remake(prob64, args=p), ude.Tsit5(), saveat=ts64,
+                    rtol=1e-8, atol=1e-9, adjoint=ude.InterpolatingAdjoint(),
+                )
+                return jnp.mean((sol.ys[:, 1:4] - data64[:, 1:4]) ** 2)
+
+            r2 = bfgs_minimize(loss64, p64, maxiters=1500,
+                               initial_stepnorm=0.01, gtol=1e-14)
+        to32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+        params = jax.tree.map(to32, r2.params)
+        print(f"{tag}: adam {r1.final_loss:.3e} → f64-host bfgs "
+              f"{float(r2.value):.3e} ({time.time()-t0:.0f}s)")
+        return params
     # BFGS restart rounds instead of one long program: a fresh Hessian at the
     # stalled point escapes f32 line-search stalls (run-to-run TPU variance
     # left the exposure net ~10× above its reachable loss in single-shot
@@ -116,49 +149,105 @@ def main(quick=False, plot=False):
     # skip the early zero-state samples like the reference ([5:end]/[2:end])
     res_ideal = sd.sindy(sd.DirectDataDrivenProblem(feats[4:], L_true[4:, None]),
                          basis, sd.STLSQ(lams), normalize=True, exhaustive_k=2)
-    # Parsimony ladder with simulation validation.  The NN reconstruction
-    # carries a few-percent *smooth* error that dense trig models can fit
-    # consistently across CV folds, so held-out error alone over-selects
-    # (and dense trig models diverge once the states leave the data range).
-    # The reference accepted its sparse model by checking the simulation
-    # (seir_exposure.jl:232-249); automated here: sweep the tolerance,
-    # re-simulate each recovered model over the training window, keep the
-    # sparsest one that reproduces E,I,R within 10%.
-    truth_scale = float(jnp.abs(truth.ys[:, 1:4]).max())
+    # Parsimony ladder with a REFIT simulation judge (sindy/select.py).
+    # The NN reconstruction carries a few-percent *smooth* error, so
+    # held-out regression error over-selects, and on the 21-day window
+    # sin(u₂) aliases the true ~0.31·u₂ exposure (they differ <2% on the
+    # data range but sin saturates beyond it — the aliased model held a
+    # 0.45 day-60 extrapolation error).  The reference accepted its model
+    # by checking the simulation (seir_exposure.jl:232-249); automated:
+    # exhaustive 1/2-term + STLSQ-grid candidates → best per support size
+    # by CV → each finalist's coefficients re-optimized against the
+    # trajectory → sparsest finalist within 1.5× of the best refit loss.
+    import dataclasses as _dc
+    import itertools
 
-    def sim_rel_err(res):
-        rr = seir.make_recovered_rhs(res)
-        s21 = ude.solve(
-            rescale_problem(
-                ude.ODEProblem(rr, seir.U0_NORM, (0.0, 21.0),
-                               jnp.asarray(res.parameters())), SCALES
-            ),
-            ude.Tsit5(), saveat=ts, rtol=1e-6, atol=1e-8,
-            adjoint=ude.NoAdjoint(), max_steps=1024,
-        )
-        ok = bool(s21.success) and bool(jnp.all(jnp.isfinite(s21.ys)))
-        if not ok:
-            return float("inf")
-        ys = s21.ys / SCALES[None, :]
-        return float(jnp.abs(ys[:, 1:4] - truth.ys[:, 1:4]).max()) / truth_scale
+    m = len(basis)
+    th_f = basis.theta(feats_h[1:])
+    Nf = th_f.shape[0]
+    y_t = L_hat[1:]
+    fsc = jnp.linalg.norm(th_f, axis=0) / jnp.sqrt(1.0 * Nf)
+    fsc = jnp.where(fsc > 0, fsc, 1.0)
+    th_n = th_f / fsc
+    ysc = jnp.sqrt(jnp.mean(y_t**2)) + 1e-30
+    yn = y_t / ysc
+    masks_small = jnp.concatenate([
+        jnp.eye(m, dtype=bool),
+        jnp.asarray([[i in c for i in range(m)]
+                     for c in itertools.combinations(range(m), 2)]),
+    ])
+    opt_grid = sd.STLSQ(lams)
 
-    candidates = []
-    for tol in (25.0, 100.0, 400.0, 1600.0):
-        r = sd.sindy(sd.DirectDataDrivenProblem(feats_h[1:], L_hat[1:, None]),
-                     basis, sd.STLSQ(lams), normalize=True,
-                     sampler=sd.DataSampler(4), cv_tolerance=tol,
-                     exhaustive_k=2)
-        if r.parameters().size == 0:
-            continue
-        candidates.append((int(r.sparsity[0]), sim_rel_err(r), tol, r))
-    assert candidates, "UDE recovery must find a model"
-    fitting = [c for c in candidates if c[1] < 0.10]
-    chosen = min(fitting, key=lambda c: (c[0], c[1])) if fitting else \
-        min(candidates, key=lambda c: c[1])
-    k_sel, rel_sel, tol_sel, res_ude = chosen
-    print(f"selection: k={k_sel} terms, train-window rel err {rel_sel:.3f} "
-          f"(cv_tolerance {tol_sel:g}; "
-          f"candidates {[(c[0], round(c[1], 3)) for c in candidates]})")
+    @jax.jit
+    def build_ladder():
+        def candidates(gram, corr):
+            xi_g, act_g = opt_grid.fit_grid(gram, corr)
+            xi_s = jax.vmap(
+                lambda mk: sd.masked_lstsq(gram, corr, mk, 1e-7)
+            )(masks_small)
+            return (jnp.concatenate([xi_g, jnp.where(masks_small, xi_s, 0.0)]),
+                    jnp.concatenate([act_g, masks_small]))
+
+        xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
+        folds = jnp.asarray(sd.DataSampler(4).masks(Nf), th_n.dtype)
+
+        def fold(wb):
+            keep = 1.0 - wb
+            xib, _ = candidates(th_n.T @ (th_n * keep[:, None]),
+                                th_n.T @ (yn * keep))
+            rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
+            return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
+
+        cv = jax.vmap(fold)(folds).mean(axis=0)
+        # two candidates per support size: on this window sin(u2)
+        # near-aliases the true ~0.31*u2 exposure, so the runner-up
+        # support must reach the simulation judge
+        return sd.best_per_support(xi * ysc / fsc, active, cv, 4,
+                                   per_size=2)
+
+    p_ = seir.P_SEIR
+    F_n, beta0 = float(p_[0] / seir._S0), float(p_[1])
+    alpha_, kappa_, mu_, sigma_, gamma_, d_, lam_ = [
+        float(v) for v in p_[2:9]]
+
+    def dense_rhs(t, us, C):
+        """Full SEIR (corona!, seir_exposure.jl:16-29) with the recovered
+        symbolic exposure z = 1e-5·Θ([S/N, 1e5·I, 1e5·D/N])·ξ, in the
+        per-state O(1) solve units."""
+        u = us / SCALES
+        S, E, I, R, N, D, Cc = u
+        z = 1e-5 * (basis.theta(
+            jnp.stack([S / N, 1e5 * I, 1e5 * D / N])[None, :])[0] @ C[:, 0])
+        imported = beta0 * S * F_n / N
+        dS = -imported - z - mu_ * S
+        dE = imported + z - (sigma_ + mu_) * E
+        dI = sigma_ * E - (gamma_ + mu_) * I
+        dR = gamma_ * I - mu_ * R
+        dN = -mu_ * N
+        dD = d_ * gamma_ * I - lam_ * D
+        dC = sigma_ * E
+        return jnp.stack([dS, dE, dI, dR, dN, dD, dC]) * SCALES
+
+    data_s = data * SCALES[None, :]
+    SUBS = 8
+    n_steps = (len(ts) - 1) * SUBS
+    # noise 1e-7 (normalized) on the 1e5-scaled rows → MSE floor ~7e-5
+    rung_sizes = jnp.repeat(jnp.arange(1, 5), 2)  # per_size=2 ladder
+    C_sel, refit_loss, k_sel = jax.jit(
+        lambda lad: sd.select_by_simulation(
+            [lad], dense_rhs, seir.U0_NORM * SCALES, 0.0, 21.0, data_s,
+            ude.Tsit5(), n_steps, sub=SUBS, rel_factor=1.5,
+            refit_iters=100, loss_floor=1e-4, max_total_support=4,
+            sizes=[rung_sizes], refit_all=True)
+    )(build_ladder())
+    act_sel = np.asarray(C_sel[:, 0] != 0.0)
+    res_ude = _dc.replace(
+        res_ideal, coefficients=np.asarray(C_sel), active=act_sel[:, None],
+        sparsity=np.asarray([act_sel.sum()]),
+    )
+    k_sel = int(k_sel)
+    print(f"selection: k={k_sel} terms, refit loss {float(refit_loss):.3g} "
+          f"(ladder of 4 support sizes, trajectory-refit judged)")
     print("ideal-recovery:", res_ideal.equations("dz")[0][:100])
     print("UDE-recovery:  ", res_ude.equations("dz")[0][:100])
 
@@ -185,7 +274,7 @@ def main(quick=False, plot=False):
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "
           f"rel err on E,I,R = {err:.3f}")
     if not quick:
-        assert err < 0.5, f"recovered model must extrapolate (rel err {err:.2f})"
+        assert err < 0.15, f"recovered model must extrapolate (rel err {err:.2f})"
 
     if plot:
         # seir_exposure.jl figure analogues: the learned exposure term vs

@@ -311,3 +311,63 @@ def test_select_by_simulation_refit_judge():
     assert (sel_active == true_active).all()
     np.testing.assert_allclose(np.asarray(C_sel), np.asarray(C_true),
                                atol=2e-2)
+
+
+def test_best_per_support_per_size_distinct_supports():
+    xi = jnp.array([
+        [1.0, 0.0, 0.0],   # support {0}, score 1
+        [1.1, 0.0, 0.0],   # support {0} again, score 2 (same structure)
+        [0.0, 2.0, 0.0],   # support {1}, score 3
+        [0.0, 0.0, 4.0],   # support {2}, score 4
+    ])
+    active = xi != 0.0
+    score = jnp.array([1.0, 2.0, 3.0, 4.0])
+    xi_k, ok_k = sd.best_per_support(xi, active, score, 2, per_size=2)
+    assert xi_k.shape == (4, 3) and ok_k.shape == (4,)
+    # rung 0: best k=1; rung 1: best k=1 with a DIFFERENT support (not the
+    # duplicate {0} candidate)
+    np.testing.assert_allclose(np.asarray(xi_k[0]), [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(xi_k[1]), [0.0, 2.0, 0.0])
+    assert bool(ok_k[0]) and bool(ok_k[1])
+    # no k=2 candidates exist
+    assert not bool(ok_k[2]) and not bool(ok_k[3])
+
+
+def test_select_by_simulation_refit_all_separates_aliases():
+    """A sin(u) alias of a linear term fits the regression window as well
+    as the truth; refit_all judging by trajectory refit must pick the
+    true structure (sin saturates over the full horizon)."""
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    basis = sd.polynomial_basis(1, 2) + sd.sin_basis(1)
+    m = len(basis)
+    i_u = basis.names.index("u1")
+    i_sin = basis.names.index("sin(u1)")
+
+    def dense_rhs(t, u, C):
+        return basis.theta(u[None, :])[0] @ C
+
+    # truth: du = 0.31*u (growth drives u well past the sin-linear range)
+    C_true = jnp.zeros((m, 1)).at[i_u, 0].set(0.31)
+    u0 = jnp.array([0.3])
+    n_save, sub = 22, 8
+    n_steps = (n_save - 1) * sub
+    _, ys = integrate_fixed(dense_rhs, u0, 0.0, 8.0, C_true,
+                            ude.Tsit5(), n_steps)
+    data = ys[::sub]
+
+    lad = (jnp.stack([
+        jnp.zeros((m,)).at[i_sin, ].set(0.36),   # alias, slightly better CV
+        jnp.zeros((m,)).at[i_u, ].set(0.305),    # truth (biased coefficient)
+    ]), jnp.array([True, True]))
+    rung_sizes = jnp.array([1, 1])
+    C_sel, loss, k = sd.select_by_simulation(
+        [lad], dense_rhs, u0, 0.0, 8.0, data, ude.Tsit5(), n_steps,
+        sub=sub, rel_factor=1.5, refit_iters=80, loss_floor=1e-10,
+        sizes=[rung_sizes], refit_all=True)
+    assert int(k) == 1
+    assert bool(C_sel[i_u, 0] != 0.0) and bool(C_sel[i_sin, 0] == 0.0)
+    np.testing.assert_allclose(float(C_sel[i_u, 0]), 0.31, atol=1e-3)

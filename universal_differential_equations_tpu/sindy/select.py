@@ -41,26 +41,42 @@ from ..core.integrate import integrate_fixed
 __all__ = ["best_per_support", "select_by_simulation"]
 
 
-def best_per_support(xi, active, score, max_support):
-    """Best candidate at each support size 1..``max_support``.
+def best_per_support(xi, active, score, max_support, per_size: int = 1):
+    """Best candidates at each support size 1..``max_support``.
 
     ``xi``: (L, m) candidate coefficient rows, ``active``: (L, m) bool
     supports, ``score``: (L,) selection score (lower is better, ``inf`` =
-    invalid).  Returns ``(xi_k, ok_k)`` with ``xi_k``: (max_support, m)
-    and ``ok_k``: (max_support,) bool — rungs with no candidate of that
-    size come back zeroed with ``ok_k=False``.
+    invalid).  Returns ``(xi_k, ok_k)`` with ``xi_k``:
+    (max_support·per_size, m) and ``ok_k`` bool — rungs with no candidate
+    of that size come back zeroed with ``ok_k=False``.  ``per_size > 1``
+    keeps the top ``per_size`` *distinct-support* candidates per size (the
+    runner-up matters when near-aliased terms — e.g. u and sin(u) on a
+    short window — tie on regression score and only a simulation judge can
+    separate them); rung order is size-major, so rung r has support size
+    ``r // per_size + 1``.  Pass the result's rungs to
+    :func:`select_by_simulation` with ``sizes=`` when ``per_size > 1``.
     """
     xi = jnp.asarray(xi)
-    ks = jnp.asarray(active).sum(axis=1)
+    active = jnp.asarray(active)
+    ks = active.sum(axis=1)
     score = jnp.asarray(score)
 
     def pick(k):
         s = jnp.where(ks == k, score, jnp.inf)
-        i = jnp.argmin(s)
-        ok = jnp.isfinite(s[i])
-        return jnp.where(ok, xi[i], 0.0), ok
+        out_xi, out_ok = [], []
+        for _ in range(per_size):
+            i = jnp.argmin(s)
+            ok = jnp.isfinite(s[i])
+            out_xi.append(jnp.where(ok, xi[i], 0.0))
+            out_ok.append(ok)
+            # knock out every candidate sharing the winner's support so the
+            # runner-up is a genuinely different structure
+            same = (active == active[i][None, :]).all(axis=1)
+            s = jnp.where(same, jnp.inf, s)
+        return jnp.stack(out_xi), jnp.stack(out_ok)
 
-    return jax.vmap(pick)(jnp.arange(1, max_support + 1))
+    xi_k, ok_k = jax.vmap(pick)(jnp.arange(1, max_support + 1))
+    return xi_k.reshape(-1, xi.shape[1]), ok_k.reshape(-1)
 
 
 def select_by_simulation(
@@ -79,6 +95,8 @@ def select_by_simulation(
     refit_iters: int = 0,
     loss_floor=0.0,
     max_total_support: int = 0,
+    sizes: Sequence = None,
+    refit_all: bool = False,
 ):
     """Pick the sparsest candidate combination that re-simulates ``data``.
 
@@ -108,7 +126,15 @@ def select_by_simulation(
       structure stalls orders of magnitude above the noise floor under
       refit; the true one reaches it — pass the known noise floor
       (mag²·E[x̄²]) as ``loss_floor``.  Keep finalists × ``refit_iters``
-      within the device watchdog budget (CLAUDE.md).
+      within the device watchdog budget (CLAUDE.md).  With
+      ``refit_all=True`` every valid combination is refit instead of one
+      finalist per size — required when same-size candidates are
+      near-aliased on the window (u vs sin(u)) so the pre-refit
+      trajectory error cannot pick the finalist; keep K^T small.
+
+    Ladders built with ``per_size > 1`` must pass their rung support
+    sizes via ``sizes`` (one array per target); otherwise rung r is
+    assumed to have support size r+1.
 
     Returns ``(C, score, k_total)``: the selected (m, T) coefficient
     matrix, its score (max-abs relative trajectory error, or refit MSE
@@ -117,8 +143,8 @@ def select_by_simulation(
     """
     u0 = jnp.asarray(u0)
     data = jnp.asarray(data)
-    sizes = [c[0].shape[0] for c in candidates]
-    grids = jnp.meshgrid(*[jnp.arange(s) for s in sizes], indexing="ij")
+    n_rungs = [c[0].shape[0] for c in candidates]
+    grids = jnp.meshgrid(*[jnp.arange(s) for s in n_rungs], indexing="ij")
     idx = jnp.stack([g.ravel() for g in grids], axis=-1)  # (P, T)
 
     # (P, m, T) dense coefficient stacks + validity + total support
@@ -128,8 +154,13 @@ def select_by_simulation(
     ok = jnp.stack(
         [candidates[t][1][idx[:, t]] for t in range(len(candidates))], axis=-1
     ).all(axis=-1)
-    # rung r of best_per_support has support size r+1 by construction
-    k_tot = (idx + 1).sum(axis=-1)
+    if sizes is not None:
+        # explicit per-rung support sizes (per_size > 1 ladders)
+        k_tot = sum(jnp.asarray(sizes[t])[idx[:, t]]
+                    for t in range(len(candidates)))
+    else:
+        # rung r of best_per_support(per_size=1) has support size r+1
+        k_tot = (idx + 1).sum(axis=-1)
 
     data_scale = jnp.max(jnp.abs(data)) + 1e-30
 
@@ -153,15 +184,26 @@ def select_by_simulation(
     from ..train import bfgs_minimize  # deferred: train is a sibling layer
 
     T = len(candidates)
-    k_max = max_total_support or sum(sizes)
-    k_vals = jnp.arange(T, k_max + 1)
+    if refit_all:
+        # judge every valid combination (small K^T only — e.g. a single
+        # target with near-aliased same-size candidates, where pre-refit
+        # trajectory error cannot be trusted to pick the finalist)
+        keep = jnp.isfinite(rel)
+        if max_total_support:
+            keep = keep & (k_tot <= max_total_support)
+        C_f, ok_f, k_f = Cs, keep, k_tot
+    else:
+        k_max = max_total_support or int(
+            sum(jnp.max(jnp.asarray(s)) for s in sizes) if sizes is not None
+            else sum(c[0].shape[0] for c in candidates))
+        k_f = jnp.arange(T, k_max + 1)
 
-    def finalist(k):
-        s = jnp.where((k_tot == k) & jnp.isfinite(rel), rel, jnp.inf)
-        i = jnp.argmin(s)
-        return Cs[i], jnp.isfinite(s[i])
+        def finalist(k):
+            s = jnp.where((k_tot == k) & jnp.isfinite(rel), rel, jnp.inf)
+            i = jnp.argmin(s)
+            return Cs[i], jnp.isfinite(s[i])
 
-    C_f, ok_f = jax.vmap(finalist)(k_vals)
+        C_f, ok_f = jax.vmap(finalist)(k_f)
 
     def refit(C0):
         mask = (C0 != 0.0).astype(C0.dtype)
@@ -181,6 +223,6 @@ def select_by_simulation(
     tol = jnp.maximum(rel_factor * jnp.min(loss_f), loss_floor)
     fits = loss_f <= tol
     norm = jnp.minimum(loss_f / (jnp.min(loss_f) + 1e-30), big - 1.0)
-    key = jnp.where(fits, k_vals * big + norm, jnp.inf)
+    key = jnp.where(fits, k_f * big + norm, jnp.inf)
     best = jnp.argmin(key)
-    return C_ref[best], loss_f[best], k_vals[best]
+    return C_ref[best], loss_f[best], k_f[best]
