@@ -113,7 +113,12 @@ def main():
     wall = time.perf_counter() - t0
     print(f"trained in {wall:.1f}s  (best checkpointed loss {ckpt.best:.3e})")
 
-    # rollout the propagator by itself from the initial profile (:188)
+    # rollout the propagator by itself from the initial profile (:188).
+    # (Measured dead end: fine-tuning on K-step-window or full-rollout
+    # losses — even anchored by the one-step loss at lr 1e-5 — *worsened*
+    # this metric: 0.147 -> 0.20/0.22/1.59 for K=8/K=16/40-step.  The
+    # compounding-gradient landscape through chained adaptive solves is
+    # ill-conditioned; the one-step optimum generalizes better.)
     n_roll = len(b_cs) - 1
     roll = [jnp.asarray(b_cs[0], jnp.float32)]
     step = jax.jit(lambda p, b0: prop(p, b0))
@@ -126,7 +131,7 @@ def main():
 
     if not args.quick:
         assert ckpt.best < 2e-4, f"train loss {ckpt.best:.3e} too high"
-        assert rel < 0.25, f"rollout rel-L2 {rel:.3f} too high"
+        assert rel < 0.20, f"rollout rel-L2 {rel:.3f} too high"
 
     if args.plot:
         # the reference renders rollout-vs-data MP4s (:186-202); the static
