@@ -123,7 +123,8 @@ def row_hjb(quick):
 def row_lv_throughput(quick):
     rl = _load_example("examples/lotka_volterra/run_loops.py")
     t0 = time.time()
-    out = rl.main(runs_per_level=4 if quick else 20)
+    out = rl.main(runs_per_level=4 if quick else 20, archive=False,
+                  resume=False)
     n_runs = (4 if quick else 20) * 5
     per = out["wall"] / n_runs * 1e3
     return dict(metric="lv_recovery_ms_per_run", value=round(per, 0), unit="ms",

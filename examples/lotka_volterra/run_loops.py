@@ -171,7 +171,7 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
     print(f"plots written to {outdir}")
 
 
-def main(runs_per_level=100, plot=False, resume=True):
+def main(runs_per_level=100, plot=False, resume=True, archive=True):
     n_levels = len(NOISE_LEVELS)
     n_runs = n_levels * runs_per_level
     ts, X, _ = lv.generate_data(jax.random.PRNGKey(0), rtol=1e-7, atol=1e-9)
@@ -360,11 +360,12 @@ def main(runs_per_level=100, plot=False, resume=True):
         print(f"{mag:8.0e} | {fit_ok[lvl].mean():8.1%} | "
               f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%}")
 
-    arch.save("loop_study", exact=jnp.asarray(exact),
-              contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
-              coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
-              final_loss=jnp.asarray(fin_loss))
-    print(f"archived to {arch.root}/loop_study.npz")
+    if archive:
+        arch.save("loop_study", exact=jnp.asarray(exact),
+                  contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
+                  coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
+                  final_loss=jnp.asarray(fin_loss))
+        print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
                     fin_loss)

@@ -371,3 +371,64 @@ def test_select_by_simulation_refit_all_separates_aliases():
     assert int(k) == 1
     assert bool(C_sel[i_u, 0] != 0.0) and bool(C_sel[i_sin, 0] == 0.0)
     np.testing.assert_allclose(float(C_sel[i_u, 0]), 0.31, atol=1e-3)
+
+
+def test_select_by_simulation_inside_vmap_lanes():
+    """The 500-run study composition: ladder + finalist refit judge traced
+    inside vmap over ensemble lanes (each lane sees different noise)."""
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    basis = sd.polynomial_basis(2, 2)
+    m = len(basis)
+    i_x, i_y = basis.names.index("u1"), basis.names.index("u2")
+    i_xy = basis.names.index("u1*u2")
+
+    def dense_rhs(t, u, C):
+        return basis.theta(u[None, :])[0] @ C
+
+    C_true = jnp.zeros((m, 2)).at[i_x, 0].set(1.3).at[i_xy, 0].set(-0.9) \
+        .at[i_y, 1].set(-1.8).at[i_xy, 1].set(0.8)
+    u0 = jnp.array([0.44249296, 4.6280594])
+    n_save, sub = 31, 4
+    n_steps = (n_save - 1) * sub
+    _, ys = integrate_fixed(dense_rhs, u0, 0.0, 3.0, C_true,
+                            ude.Tsit5(), n_steps)
+    clean = ys[::sub]
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    datas = jnp.stack([clean + 1e-3 * jax.random.normal(k, clean.shape)
+                       for k in keys])
+
+    def col(pairs):
+        c = jnp.zeros((m,))
+        for i, v in pairs:
+            c = c.at[i].set(v)
+        return c
+
+    lad1 = (jnp.stack([col([(i_x, 5.0)]),
+                       col([(i_x, 1.28), (i_xy, -0.92)]),
+                       col([(i_x, 1.3), (i_xy, -0.9), (i_y, 1e-3)])]),
+            jnp.array([True, True, True]))
+    lad2 = (jnp.stack([col([(i_y, -5.0)]),
+                       col([(i_y, -1.83), (i_xy, 0.81)]),
+                       col([(i_y, -1.8), (i_xy, 0.8), (i_x, 1e-3)])]),
+            jnp.array([True, True, True]))
+
+    @jax.jit
+    @jax.vmap
+    def recover(data):
+        C, loss, k = sd.select_by_simulation(
+            [lad1, lad2], dense_rhs, data[0], 0.0, 3.0, data, ude.Tsit5(),
+            n_steps, sub=sub, rel_factor=1.5, refit_iters=50,
+            loss_floor=1.3e-6, max_total_support=5)
+        return C, loss, k
+
+    Cs, losses, ks = recover(datas)
+    assert Cs.shape == (3, m, 2)
+    for lane in range(3):
+        act = np.asarray(Cs[lane] != 0.0)
+        assert (act == np.asarray(C_true != 0.0)).all(), (lane, act)
+        np.testing.assert_allclose(np.asarray(Cs[lane]), np.asarray(C_true),
+                                   atol=5e-2)
