@@ -17,6 +17,13 @@ Success metrics per noise level (``loop_evaluation.jl:30-35,102-130``):
 * exact  — both equations recover exactly the {x·y} term,
 * x*y    — both equations contain the x·y term (dominant physics found).
 
+(Measured dead end, do not re-chase: at 5e-2 noise the x·y-found rate is
+init-dependent per draw, but neither pick-by-final-loss — the lowest-loss
+init can carry the *worst* interaction shape — nor ensemble-averaging the
+learned term across 3 inits beats a single init; two of eight draws fail
+for every init.  The high-noise rates are information-limited by the
+31-point window, not by training restarts.)
+
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
 import argparse
@@ -123,6 +130,27 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
         viz.save(fig, outdir / "loop_losses.pdf")
 
     if c1.ndim == 2 and c1.shape[1] == len(BASIS):
+        # loop_evaluation.jl:37-61 sparsity extraction (get_sparsity):
+        # recovered support-size distribution per noise level — exact
+        # recoveries have 1 active term per equation
+        ks = ((np.abs(c1) > 1e-12).sum(axis=1)
+              + (np.abs(c2) > 1e-12).sum(axis=1)).reshape(n_levels, per)
+        fig, ax = viz.new_figure(4.8, 3.2)
+        kmax = int(ks.max())
+        width = 0.8 / n_levels
+        for lvl in range(n_levels):
+            counts = np.bincount(ks[lvl], minlength=kmax + 1)[2:]
+            ax.bar(np.arange(2, kmax + 1) + (lvl - n_levels / 2) * width,
+                   counts / per, width=width,
+                   color=viz.SERIES[lvl % len(viz.SERIES)],
+                   label=f"{noise[lvl]:g}")
+        ax.axvline(2.0 - 0.4, color="0.4", linewidth=0.8, linestyle=":")
+        ax.set_xlabel("total recovered terms (truth = 2)")
+        ax.set_ylabel("fraction of runs")
+        ax.set_title("recovered support sizes per noise level")
+        ax.legend(fontsize=7, title="noise", ncol=2)
+        viz.save(fig, outdir / "loop_sparsity.pdf")
+
         # loop_evaluation.jl:194-216 analogue: simulate sampled recovered
         # models — exact recoveries vs failures — against the truth
         ts_g = jnp.linspace(0.0, 6.0, 121)

@@ -123,6 +123,10 @@ def main(quick=False, plot=False):
           f"{float(res2.value):.8f} in {train_s:.1f}s")
 
     # -- SINDy recovery on the learned interactions (scenario_1.jl:155-172).
+    # (Library form of this machinery: sindy.best_per_support +
+    # sindy.select_by_simulation — the vmap-traceable refit judge used by
+    # run_loops.py and seir_exposure.py.  This flagship script keeps its
+    # host-driven variant for the richer diagnostics it prints.)
     # The trained NN matches the true interactions only to a fraction of a
     # percent, but that residual is *structured*, so purely statistical
     # selection (CV folds, AICc) over-selects and near-collinear supports

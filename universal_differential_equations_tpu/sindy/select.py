@@ -221,8 +221,11 @@ def select_by_simulation(
     loss_f, C_ref = jax.vmap(refit)(C_f)
     loss_f = jnp.where(ok_f, loss_f, jnp.inf)
     tol = jnp.maximum(rel_factor * jnp.min(loss_f), loss_floor)
-    fits = loss_f <= tol
+    # isfinite guard: with no valid finalist tol is inf and inf <= inf would
+    # "fit", and inf/inf below would poison the key with NaN
+    fits = (loss_f <= tol) & jnp.isfinite(loss_f)
     norm = jnp.minimum(loss_f / (jnp.min(loss_f) + 1e-30), big - 1.0)
+    norm = jnp.where(jnp.isfinite(norm), norm, big - 1.0)
     key = jnp.where(fits, k_f * big + norm, jnp.inf)
     best = jnp.argmin(key)
     return C_ref[best], loss_f[best], k_f[best]
