@@ -31,18 +31,28 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 BASELINE_SECONDS = 236.8  # Fisher-KPP-CNN-Fourier.jl:305-329, mean of 5 runs
 
 
-def train_run(seed, ts, data):
-    rhs, params0 = fk.make_model(jax.random.PRNGKey(seed), "fourier")
-
+def make_residuals(rhs, ts, data):
     def residuals(p):
+        # Unstable candidate params that exhaust max_steps are mapped to inf
+        # residuals so LM rejects them instead of fitting a silently clamped
+        # dense-output tail (accepted iterates need ≤45 steps, measured).
         sol = ude.solve(
             ude.ODEProblem(rhs, data[0], (0.0, fk.T_END), p), ude.Tsit5(),
             saveat=ts, rtol=1e-4, atol=1e-6,
             adjoint=ude.ForwardSensitivity(), max_steps=192,
         )
         pen = jnp.sqrt(fk.zero_sum_penalty(p) + 1e-30)
-        return jnp.concatenate([(sol.ys - data).ravel(), pen[None]])
+        r = jnp.concatenate([(sol.ys - data).ravel(), pen[None]])
+        return jnp.where(sol.success, r, jnp.inf)
 
+    return residuals
+
+
+def train_run(seed, residuals):
+    # rhs is seed-independent (the key only draws the initial reaction
+    # weights), so one residual closure serves every seed and the LM core's
+    # jit cache makes runs after the first retrace-free.
+    _, params0 = fk.make_model(jax.random.PRNGKey(seed), "fourier")
     t0 = time.perf_counter()
     res = levenberg_marquardt(residuals, params0, maxiters=100, loss_tol=0.01)
     jax.block_until_ready(res.loss)
@@ -53,9 +63,11 @@ def train_run(seed, ts, data):
 def main():
     enable_compilation_cache()
     ts, data = fk.generate_data()
+    rhs, _ = fk.make_model(jax.random.PRNGKey(0), "fourier")
+    residuals = make_residuals(rhs, ts, data)
     walls, losses = [], []
     for seed in range(4):  # seed 0 includes compile; report median
-        wall, loss = train_run(seed, ts, data)
+        wall, loss = train_run(seed, residuals)
         walls.append(wall)
         losses.append(loss)
     assert all(l < 0.01 for l in losses), f"convergence failed: {losses}"

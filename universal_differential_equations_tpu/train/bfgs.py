@@ -13,6 +13,7 @@ directions; Nocedal & Wright Alg. 3.5/3.6 bracketing + zoom line search.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -174,7 +175,20 @@ def bfgs_minimize(
     direction is rescaled to that norm.  ``allow_f_increases`` mirrors the
     reference's option (``hudson_bay.jl:147``): when False, a line-search
     failure terminates the run.
+
+    Jit-cached on the identity of ``fun`` (and the static options): reuse
+    one function object across calls to avoid retracing — eager ``lax``
+    dispatch otherwise dominates small-model runs by ~20×.
     """
+    return _bfgs_core(
+        fun, maxiters, initial_stepnorm, allow_f_increases,
+        params0, gtol, ftol,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _bfgs_core(fun, maxiters, initial_stepnorm, allow_f_increases,
+               params0, gtol, ftol):
     x0_flat, unravel = ravel_pytree(params0)
     n = x0_flat.shape[0]
     dtype = x0_flat.dtype
