@@ -44,7 +44,12 @@ def enable_compilation_cache(path=None):
         ).hexdigest()[:10]
         path = f"/tmp/ude_tpu_jax_cache_{tag}"
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist even sub-second compiles: over the TPU tunnel each tiny eager
+    # op costs ~0.4 s to compile, and data-generation/setup code dispatches
+    # dozens of them — measured 38 s → 1.6 s per process start when these
+    # are cached too (entries are a few KB each).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def flat_dim(tree) -> int:
