@@ -49,7 +49,10 @@ def enable_compilation_cache(path=None):
     # dozens of them — measured 38 s → 1.6 s per process start when these
     # are cached too (entries are a few KB each).
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # Deliberately unbounded: jax's max-size LRU needs per-entry -atime
+    # sidecars from the directory's creation and breaks (write failures) on
+    # caches that predate the setting or are shared by concurrent processes.
+    # Entries are a few KB; delete the directory to reclaim space.
 
 
 def flat_dim(tree) -> int:

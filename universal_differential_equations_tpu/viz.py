@@ -105,7 +105,12 @@ def save(fig, path):
     """Write the figure (directories created; format from the suffix)."""
     path = Path(path)
     os.makedirs(path.parent, exist_ok=True)
-    fig.savefig(path, bbox_inches="tight")
+    # Strip run-dependent PDF/SVG metadata so re-running an example with
+    # unchanged science output leaves the tracked figure byte-identical.
+    metadata = None
+    if path.suffix.lower() in (".pdf", ".svg"):
+        metadata = {"CreationDate": None}
+    fig.savefig(path, bbox_inches="tight", metadata=metadata)
     plt.close(fig)
     return path
 
