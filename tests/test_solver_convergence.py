@@ -100,6 +100,81 @@ def test_dense_output_and_derivative():
     )
 
 
+@pytest.mark.parametrize("nodes", [2, 3, 4])
+def test_dense_output_interpolation_order(nodes):
+    # The m-node Hermite–Birkhoff window is a degree-2m−1 interpolant with
+    # local error O(h^{2m}) (value) / O(h^{2m-1}) (derivative): halving h must
+    # shrink the max mid-grid error by ≈2^{2m} / 2^{2m-1}.
+    from universal_differential_equations_tpu.core.solution import (
+        DenseInterpolation,
+    )
+
+    def build(n):
+        ts = jnp.linspace(0.0, 2.0, n)
+        ys = jnp.stack([jnp.sin(ts), jnp.cos(ts)], 1)
+        fs = jnp.stack([jnp.cos(ts), -jnp.sin(ts)], 1)
+        return DenseInterpolation(
+            ts=ts, ys=ys, fs=fs, num_points=jnp.asarray(n, jnp.int32),
+            direction=jnp.asarray(1.0), nodes=nodes,
+        )
+
+    tq = jnp.linspace(0.013, 1.987, 301)
+    ref = jnp.stack([jnp.sin(tq), jnp.cos(tq)], 1)
+    dref = jnp.stack([jnp.cos(tq), -jnp.sin(tq)], 1)
+    errs, derrs = [], []
+    for n in (9, 17):  # h and h/2
+        d = build(n)
+        errs.append(float(jnp.abs(d(tq) - ref).max()))
+        derrs.append(float(jnp.abs(d(tq, 1) - dref).max()))
+    ratio = errs[0] / errs[1]
+    dratio = derrs[0] / derrs[1]
+    assert 2 ** (2 * nodes) / 2.5 < ratio < 2 ** (2 * nodes) * 2.5, ratio
+    assert 2 ** (2 * nodes - 1) / 2.5 < dratio < 2 ** (2 * nodes - 1) * 2.5, (
+        dratio
+    )
+
+
+def test_dense_output_order_matched_vs_cubic():
+    # Solver-order dense output (C1/C2): Vern7's 4-node septic window must
+    # interpolate its own accepted-step grid orders of magnitude tighter than
+    # the cubic would, and reproduce the stored nodes exactly.
+    import dataclasses
+
+    def f(t, y, args):
+        return jnp.stack([-y[1], y[0]])
+
+    prob = ude.ODEProblem(f, jnp.array([1.0, 0.0]), (0.0, 10.0))
+    sol = ude.solve(prob, ude.Vern7(), rtol=1e-8, atol=1e-10, dense=True,
+                    adjoint=ude.NoAdjoint())
+    assert sol.dense.nodes == 4
+    tq = jnp.linspace(0.01, 9.99, 401)
+    ref = jnp.stack([jnp.cos(tq), jnp.sin(tq)], 1)
+    dref = jnp.stack([-jnp.sin(tq), jnp.cos(tq)], 1)
+    err = float(jnp.abs(sol(tq) - ref).max())
+    derr = float(jnp.abs(sol(tq, 1) - dref).max())
+    cubic = dataclasses.replace(sol.dense, nodes=2)
+    cerr = float(jnp.abs(cubic(tq) - ref).max())
+    cderr = float(jnp.abs(cubic(tq, 1) - dref).max())
+    assert err < cerr / 100, (err, cerr)
+    assert derr < cderr / 100, (derr, cderr)
+    n = int(sol.num_accepted) + 1
+    tn = sol.dense.ts[:n] * sol.dense.direction
+    np.testing.assert_allclose(
+        np.asarray(sol(tn)), np.asarray(sol.dense.ys[:n]), atol=1e-13
+    )
+
+
+def test_dense_output_fallback_short_solve():
+    # Fewer stored points than the window size: falls back to cubic, stays
+    # finite and accurate on a one-to-two-step solve.
+    prob = ude.ODEProblem(lambda t, y, args: -y, jnp.array([1.0]), (0.0, 1e-3))
+    sol = ude.solve(prob, ude.Vern7(), rtol=1e-3, atol=1e-6, dense=True,
+                    adjoint=ude.NoAdjoint())
+    val = sol(jnp.asarray(5e-4))
+    assert bool(jnp.isfinite(val).all())
+    np.testing.assert_allclose(float(val[0]), np.exp(-5e-4), rtol=1e-6)
+
+
 def test_backward_integration():
     prob = ude.ODEProblem(lambda t, y, args: -y, jnp.array([np.exp(-2.0)]),
                           (2.0, 0.0))

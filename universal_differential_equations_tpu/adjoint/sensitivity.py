@@ -133,7 +133,8 @@ class _ContinuousAdjoint(AbstractAdjoint):
         )
         (ys, y_final, buf_t, buf_y, buf_f, num_points, direction, t_final,
          success, n_acc, n_rej, nfe) = out
-        dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction)
+        dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction,
+                                   nodes=getattr(solver, "dense_nodes", 2))
         res = IntegrateResult(dense, t_final, y_final, success, n_acc, n_rej, nfe)
         return ys, res
 
@@ -191,7 +192,8 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
      y0, t0, t1, args, ts_save, tstops) = residuals
     g_ys, g_yfin = cts[0], cts[1]  # remaining outputs are non-differentiable
 
-    dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction)
+    dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction,
+                               nodes=getattr(solver, "dense_nodes", 2))
     dim = y0.shape[0]
     mu0_tree = jax.tree.map(jnp.zeros_like, args)
     mu0_flat, unravel_mu = ravel_pytree(mu0_tree)

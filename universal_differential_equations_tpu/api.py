@@ -60,9 +60,10 @@ def solve(
         adjoints — differentiate the ``saveat`` values instead.
       controller: step-size controller.
       step_to_saveat: force accepted steps to land exactly on the ``saveat``
-        points (tstops-style), so saved values carry full solver-order
-        accuracy instead of 4th-order interpolation accuracy — used for
-        truth generation at 1e-12 tolerances (C27).
+        points (tstops-style), so saved values are solver *step* values with
+        no interpolation at all — used for truth generation at 1e-12
+        tolerances (C27).  Off-grid saves use the solver-order-matched dense
+        output (cubic/quintic/septic Hermite windows per ``dense_nodes``).
 
     Returns:
       ``Solution`` with ``ts``/``ys`` on the save grid.

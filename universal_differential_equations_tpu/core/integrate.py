@@ -153,11 +153,12 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     return new, accept, t_new, y1, f1
 
 
-def _result(buf_t, buf_y, buf_f, state, direction, tau1):
+def _result(buf_t, buf_y, buf_f, state, direction, tau1, nodes=2):
     num_points = state.n_acc + 1
     success = ~state.failed & state.done
     dense = DenseInterpolation(
-        ts=buf_t, ys=buf_y, fs=buf_f, num_points=num_points, direction=direction
+        ts=buf_t, ys=buf_y, fs=buf_f, num_points=num_points,
+        direction=direction, nodes=nodes,
     )
     return IntegrateResult(
         dense=dense,
@@ -206,7 +207,8 @@ def integrate_while(
         cond, body, (state, buf_t, buf_y, buf_f)
     )
     state = state._replace(failed=state.failed | ~state.done)
-    return _result(buf_t, buf_y, buf_f, state, direction, tau1)
+    return _result(buf_t, buf_y, buf_f, state, direction, tau1,
+                   nodes=getattr(solver, "dense_nodes", 2))
 
 
 def integrate_scan(
@@ -247,7 +249,8 @@ def integrate_scan(
     buf_y = jnp.concatenate([y0_arr[None], out_y])
     buf_f = jnp.concatenate([f0[None], out_f])
     order = jnp.argsort(buf_t, stable=True)
-    return _result(buf_t[order], buf_y[order], buf_f[order], state, direction, tau1)
+    return _result(buf_t[order], buf_y[order], buf_f[order], state, direction,
+                   tau1, nodes=getattr(solver, "dense_nodes", 2))
 
 
 def integrate_fixed(f, y0, t0, t1, args, solver, n_steps):

@@ -6,10 +6,19 @@ Covers the reference's ``ODESolution`` usage surface: ``Array(solution)`` on a
 targets (``scenario_1.jl:46``, SURVEY.md C2).
 
 Dense output is a fixed-capacity buffer of accepted steps ``(t_i, y_i, f_i)``
-with cubic-Hermite interpolation between them — static shapes throughout so the
+with Hermite interpolation between them — static shapes throughout so the
 whole thing lives on device, vmaps, and evaluates as one gathered, fused
-computation (no host round-trips).  Hermite interpolation on the accepted-step
-grid is 4th-order accurate, matching the order of Tsit5's free interpolant.
+computation (no host round-trips).
+
+Interpolation order scales with the solver (the reference's solver-order
+interpolants: Tsit5's free 4th-order / Vern7's 7th-order dense output, C1/C2):
+``nodes`` stored step points enter a Hermite–Birkhoff window of polynomial
+degree ``2·nodes − 1`` (each node contributes value and derivative).  The
+default ``nodes=2`` is the classic cubic Hermite (4th-order accurate, matching
+Tsit5's free interpolant); adaptive RK solvers advertise ``dense_nodes`` so
+5th-order methods interpolate with quintics (local error O(h⁶)) and Vern7 with
+septics (O(h⁸)) — no extra stages, RHS evaluations, or storage: the window
+reuses the neighbouring accepted-step nodes already in the buffer.
 """
 from __future__ import annotations
 
@@ -25,12 +34,19 @@ __all__ = ["DenseInterpolation", "Solution"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseInterpolation:
-    """Cubic-Hermite dense output over the accepted-step grid.
+    """Hermite dense output over the accepted-step grid.
 
     Buffers have static capacity ``max_steps + 1``; ``num_points`` (a traced
     int) gives the number of valid entries.  Entries past ``num_points`` hold
     ``t = +inf`` so that ``searchsorted`` lands queries in the last valid
     interval.
+
+    ``nodes`` (static) sets the interpolation window: the degree-``2·nodes−1``
+    Hermite–Birkhoff polynomial through ``nodes`` consecutive step points'
+    values and derivatives.  ``nodes=2`` is cubic Hermite; solves with fewer
+    than ``nodes`` stored points fall back to the cubic automatically.  Value
+    and first derivative are continuous at the step knots for any window size
+    (adjacent windows share the knot's ``(y, f)`` data).
     """
 
     ts: jnp.ndarray  # (cap,)
@@ -38,6 +54,7 @@ class DenseInterpolation:
     fs: jnp.ndarray  # (cap, dim)  RHS values at ts
     num_points: jnp.ndarray  # scalar int32
     direction: jnp.ndarray  # scalar, +1.0 or -1.0
+    nodes: int = dataclasses.field(default=2, metadata=dict(static=True))
 
     @property
     def t0(self):
@@ -56,17 +73,8 @@ class DenseInterpolation:
         idx = jnp.searchsorted(self.ts, t, side="right") - 1
         return jnp.clip(idx, 0, hi - 1)
 
-    def _hermite(self, t, derivative: bool):
-        t = t * self.direction
-        # Clamp to the covered range: a failed/truncated solve (divergence,
-        # step-budget exhaustion) holds its last valid state instead of
-        # extrapolating the local cubic to astronomical values — the analogue
-        # of the reference's truncated solution arrays on failure, and what
-        # keeps ensemble fault-masking losses finite (SURVEY.md §5).
-        cap = self.ts.shape[0]
-        last = self.ts[jnp.clip(self.num_points - 1, 0, cap - 1)]
-        t = jnp.clip(t, self.ts[0], last)
-        i = self._interval(t)
+    def _cubic(self, i, t, derivative: bool):
+        """Cubic Hermite on interval ``[ts[i], ts[i+1]]`` at internal time t."""
         t0, t1 = self.ts[i], self.ts[i + 1]
         y0, y1 = self.ys[i], self.ys[i + 1]
         f0, f1 = self.fs[i], self.fs[i + 1]
@@ -87,6 +95,76 @@ class DenseInterpolation:
         dh11 = (3 * s * s - 2 * s) / h
         val = dh00 * y0 + (dh10 * f0 + dh11 * f1) * h + dh01 * y1
         return val * self.direction
+
+    def _windowed(self, i, t, derivative: bool):
+        """Degree-``2m−1`` Hermite–Birkhoff window around interval ``i``.
+
+        Newton divided differences over the doubled node sequence
+        ``[t_w, t_w, t_{w+1}, t_{w+1}, …]`` (each repeated node supplies the
+        stored RHS value as the slope constraint); the window of ``m = nodes``
+        step points is chosen so adjacent intervals share their knot's data —
+        value and slope stay continuous across knots.  Local error O(h^{2m}).
+        """
+        m = self.nodes
+        cap = self.ts.shape[0]
+        n = self.num_points
+        ok = n >= m
+        # Window start: one node left of the interval for even windows
+        # (centred), right-biased otherwise; clipped into the valid prefix.
+        w = jnp.clip(i - (m - 2) // 2, 0, jnp.maximum(n - m, 0))
+        idx = jnp.clip(w + jnp.arange(m), 0, cap - 1)
+        tn = self.ts[idx]
+        # Short solves (n < m) divert to the cubic below; feed the window
+        # distinct dummy nodes so its untaken divided differences stay finite
+        # (the +inf slots past num_points would otherwise produce inf−inf).
+        tn = jnp.where(ok, tn, jnp.arange(m, dtype=tn.dtype))
+        yn = jnp.where(ok, self.ys[idx], 0.0)
+        fn = jnp.where(ok, self.fs[idx], 0.0)
+
+        # Divided-difference table on z = [t_0, t_0, t_1, t_1, …] (2m entries,
+        # unrolled: m ≤ 4).  First column: slopes at repeated nodes are f_k.
+        z = [tn[k // 2] for k in range(2 * m)]
+        col = []
+        for j in range(2 * m - 1):
+            if j % 2 == 0:
+                col.append(fn[j // 2])
+            else:
+                k = j // 2
+                col.append((yn[k + 1] - yn[k]) / (tn[k + 1] - tn[k]))
+        coeffs = [yn[0], col[0]]
+        for r in range(2, 2 * m):
+            col = [
+                (col[j + 1] - col[j]) / (z[j + r] - z[j])
+                for j in range(2 * m - r)
+            ]
+            coeffs.append(col[0])
+
+        # Horner evaluation of the Newton form with analytic derivative.
+        p = coeffs[-1]
+        dp = jnp.zeros_like(p)
+        for k in range(2 * m - 2, -1, -1):
+            dt = t - z[k]
+            dp = dp * dt + p
+            p = coeffs[k] + p * dt
+        if derivative:
+            return dp * self.direction, ok
+        return p, ok
+
+    def _hermite(self, t, derivative: bool):
+        t = t * self.direction
+        # Clamp to the covered range: a failed/truncated solve (divergence,
+        # step-budget exhaustion) holds its last valid state instead of
+        # extrapolating the local polynomial to astronomical values — the
+        # analogue of the reference's truncated solution arrays on failure,
+        # and what keeps ensemble fault-masking losses finite (SURVEY.md §5).
+        cap = self.ts.shape[0]
+        last = self.ts[jnp.clip(self.num_points - 1, 0, cap - 1)]
+        t = jnp.clip(t, self.ts[0], last)
+        i = self._interval(t)
+        if self.nodes <= 2:
+            return self._cubic(i, t, derivative)
+        win, ok = self._windowed(i, t, derivative)
+        return jnp.where(ok, win, self._cubic(i, t, derivative))
 
     def evaluate(self, t):
         """y(t) for scalar or array ``t`` (vectorized via vmap)."""

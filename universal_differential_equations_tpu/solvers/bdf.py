@@ -395,9 +395,12 @@ def daeint(
     s, buf_t, buf_y, buf_f = jax.lax.while_loop(cond, body, (init, buf_t, buf_y, buf_f))
     failed = s.failed | ~s.done
 
+    # nodes=3: quintic Hermite windows over (t, u, u') — u' is the consistent
+    # DAE derivative the Newton solve produces for every component, so the
+    # window is a true Hermite interpolant; O(h^6) covers BDF's max order 5.
     interp = DenseInterpolation(
         ts=buf_t, ys=buf_y, fs=buf_f, num_points=s.n_acc + 1,
-        direction=jnp.ones((), dtype),
+        direction=jnp.ones((), dtype), nodes=3,
     )
     if saveat is None:
         ts = jnp.stack([t0, t1])

@@ -47,6 +47,17 @@ class AbstractERK:
     def name(self):
         return self.tableau.name
 
+    @property
+    def dense_nodes(self):
+        """Hermite-window size for order-matched dense output (C1/C2).
+
+        ``m`` step points give a degree-``2m−1`` interpolant (local error
+        O(h^{2m})); ``m = ceil((order+1)/2)`` matches the solver's order —
+        cubic for ≤4th order, quintic for Tsit5/Dopri5, septic for Vern7
+        (the reference's 4th/7th-order interpolants, ``scenario_1.jl:46``).
+        """
+        return min(4, max(2, (self.tableau.order + 2) // 2))
+
     def step(self, f, t, y, f0, dt, args):
         """One attempted step of size ``dt`` from ``(t, y)``.
 
