@@ -57,9 +57,11 @@ def fd_reference():
         ude.DiscreteAdjoint(),
         ude.DiscreteAdjoint(checkpoint=False),
         ude.InterpolatingAdjoint(),
+        ude.InterpolatingAdjoint(interp_nodes=2),
         ude.BacksolveAdjoint(),
     ],
-    ids=["discrete", "discrete-noremat", "interpolating", "backsolve"],
+    ids=["discrete", "discrete-noremat", "interpolating",
+         "interpolating-cubic", "backsolve"],
 )
 def test_reverse_gradients_match_fd(adjoint, fd_reference):
     loss = _loss_fn(adjoint)

@@ -122,6 +122,11 @@ class _ContinuousAdjoint(AbstractAdjoint):
     # hence default False; enable when quadrature rows dominate step
     # control (large fast-varying λᵀ∂f/∂p with tight atol).
     seminorm: bool = False
+    # Hermite-window size for the backward pass's u(t) reads; None = the
+    # solver's order-matched ``dense_nodes``.  The wider window costs ~10-15%
+    # of adjoint wall-clock (measured, climate_adjoint_bench) — set 2 to
+    # trade interpolation order for speed when backward tolerances are loose.
+    interp_nodes: Optional[int] = None
 
     kind = "interp"
 
@@ -192,8 +197,11 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
      y0, t0, t1, args, ts_save, tstops) = residuals
     g_ys, g_yfin = cts[0], cts[1]  # remaining outputs are non-differentiable
 
+    nodes = cfg.interp_nodes
+    if nodes is None:
+        nodes = getattr(solver, "dense_nodes", 2)
     dense = DenseInterpolation(buf_t, buf_y, buf_f, num_points, direction,
-                               nodes=getattr(solver, "dense_nodes", 2))
+                               nodes=nodes)
     dim = y0.shape[0]
     mu0_tree = jax.tree.map(jnp.zeros_like, args)
     mu0_flat, unravel_mu = ravel_pytree(mu0_tree)
