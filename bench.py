@@ -14,6 +14,7 @@ A secondary benchmark (climate neural-PDE adjoint evaluation vs the
 reference's measured 0.879 s) lives in benchmarks/climate_adjoint_bench.py.
 """
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -60,16 +61,46 @@ def train_run(seed, residuals):
     return wall, float(res.loss)
 
 
+def probe_device(timeout_s=60.0):
+    """True if a trivial jit dispatch completes on this host's accelerator.
+
+    Runs in a child process so a wedged TPU worker (whose probes *hang*
+    rather than error — see CLAUDE.md) can be killed instead of hanging the
+    benchmark.
+    """
+    code = "import jax; jax.jit(lambda x: x + 1)(1.0); print('ok')"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     enable_compilation_cache()
     ts, data = fk.generate_data()
     rhs, _ = fk.make_model(jax.random.PRNGKey(0), "fourier")
     residuals = make_residuals(rhs, ts, data)
     walls, losses = [], []
+    # The TPU worker crashes sporadically (watchdog); a crashed run raises.
+    # Retry each seed once after confirming the device answers a probe, and
+    # report over the runs that completed (≥2 required).
     for seed in range(4):  # seed 0 includes compile; report median
-        wall, loss = train_run(seed, residuals)
-        walls.append(wall)
-        losses.append(loss)
+        for attempt in range(2):
+            try:
+                wall, loss = train_run(seed, residuals)
+            except Exception as e:  # noqa: BLE001 — device/runtime faults
+                print(f"# seed {seed} attempt {attempt} failed: {e!r}",
+                      file=sys.stderr)
+                deadline = time.time() + 600
+                while time.time() < deadline and not probe_device():
+                    time.sleep(30)
+                continue
+            walls.append(wall)
+            losses.append(loss)
+            break
+    assert len(walls) >= 2, f"only {len(walls)} benchmark runs completed"
     assert all(l < 0.01 for l in losses), f"convergence failed: {losses}"
     walls.sort()
     median = walls[len(walls) // 2]

@@ -125,13 +125,82 @@ def main(quick=False, plot=False):
                     adjoint=ude.NoAdjoint())
     Xh = sol.ys
     Yh = jax.vmap(lambda u: net.apply(p_tr["nn"], u))(Xh)
+
+    # -- SINDy on NN outputs, judged by re-simulation (hudson_bay.jl:180-193
+    #    plus the visual acceptance + post-fit of :197-210, automated by the
+    #    refit judge in sindy/select.py).  Purely statistical selection
+    #    (AICc/CV) over-selects here: the NN outputs carry structured bias
+    #    that is consistent across CV folds, so dense huge-coefficient
+    #    structures can win on regression score yet diverge when simulated —
+    #    observed in quick mode.  Candidate parsimony ladders per equation
+    #    are therefore integrated through the hybrid model and one finalist
+    #    per support size is refit against the trajectory data.
+    import dataclasses as _dc
+
     nn_res = sd.sindy(sd.DirectDataDrivenProblem(Xh, Yh), basis,
                       sd.STLSQ(lams), normalize=True, denoise=True,
                       sampler=sd.DataSampler(4), exhaustive_k=2)
-    print("UDE SINDy recovery:")
+
+    theta_feat = basis.theta(Xh)
+    Nh = Xh.shape[0]
+    folds = jnp.asarray(sd.DataSampler(4).masks(Nh), jnp.float32)
+    opt_s = sd.STLSQ(lams)
+    # The hybrid model already carries the linear birth/decay physics
+    # (lin₀·u1, −lin₁·u2): those features — and their sin(u) near-aliases,
+    # indistinguishable from u on the normalized [0, 1] data range — must
+    # not be candidates for the *missing* terms, or a z = c·u alias wins
+    # the parsimony judge and the joint post-fit over (lin, coef) turns
+    # degenerate (observed: lin₁ driven to −1e3).  Same physics-informed
+    # restriction as the reference's known-terms split (hudson_bay.jl:85-90).
+    excl1 = [basis.names.index("u1"), basis.names.index("sin(u1)")]
+    excl2 = [basis.names.index("u2"), basis.names.index("sin(u2)")]
+
+    def ladder(y, excl):
+        """Best STLSQ candidate per support size 1..4, CV-scored."""
+        th_x = theta_feat.at[:, jnp.asarray(excl)].set(0.0)
+        fsc = jnp.linalg.norm(th_x, axis=0) / jnp.sqrt(1.0 * Nh)
+        fsc = jnp.where(fsc > 0, fsc, 1.0)
+        th_n = th_x / fsc
+        ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
+        yn = y / ysc
+        xi, active = opt_s.fit_grid(th_n.T @ th_n, th_n.T @ yn)
+
+        def fold(wb):
+            keep = 1.0 - wb
+            xib, _ = opt_s.fit_grid(th_n.T @ (th_n * keep[:, None]),
+                                    th_n.T @ (yn * keep))
+            rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
+            return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
+
+        cv = jax.vmap(fold)(folds).mean(axis=0)
+        return sd.best_per_support(xi * ysc / fsc, active, cv, 4)
+
+    lin0, lin1 = float(p_tr["lin"][0]), float(p_tr["lin"][1])
+
+    def dense_rhs(tt, u, C):
+        th = basis.theta(u[None, :])[0]
+        return jnp.stack([lin0 * u[0] + th @ C[:, 0],
+                          -lin1 * u[1] + th @ C[:, 1]])
+
+    SUB = 8
+    floor = max(2.0 * float(r3.loss), 1e-3)  # the UDE's own trajectory MSE
+    C_sel, refit_loss, k_sel = sd.select_by_simulation(
+        [ladder(Yh[:, 0], excl1), ladder(Yh[:, 1], excl2)], dense_rhs,
+        Xn[0], 0.0, t_end,
+        Xn, ude.Tsit5(), (Xn.shape[0] - 1) * SUB, sub=SUB, rel_factor=1.5,
+        refit_iters=100, loss_floor=floor, max_total_support=6,
+        refit_all=True)
+    act_sel = np.asarray(C_sel != 0.0)
+    nn_res = _dc.replace(nn_res, coefficients=np.asarray(C_sel),
+                         active=act_sel, sparsity=act_sel.sum(axis=0))
+    print(f"UDE SINDy recovery (refit-judged, {int(k_sel)} terms, "
+          f"trajectory MSE {float(refit_loss):.3g}):")
     for eq in nn_res.equations():
         print("   " + eq[:90])
     assert nn_res.parameters().size >= 2
+    # recovered sparse model must reproduce the pelt record, not merely stay
+    # bounded (measured: 0.054 full / 0.013 quick)
+    assert float(refit_loss) < 0.2, f"refit trajectory MSE {float(refit_loss)}"
 
     # -- recovered model + post-fit (hudson_bay.jl:186-210)
     rec = nn_res.rhs()
@@ -163,6 +232,9 @@ def main(quick=False, plot=False):
     amp = float(jnp.abs(est.ys).max())
     print(f"extrapolation to t=50: solver_done={bool(est.success)}, "
           f"finite={finite}, max amplitude {amp:.2f} (normalized units)")
+    # est.success matters: a diverging recovered model exhausts max_steps and
+    # the clamped dense tail would pass a finite/amplitude check spuriously
+    assert bool(est.success), "recovered-model extrapolation solve must finish"
     assert finite and amp < 10.0, "recovered model must stay bounded on [0, 50]"
     assert float(r3.loss) < 0.1, "UDE must fit the data (mean L2 < 0.1)"
 
