@@ -129,3 +129,27 @@ def test_error_weights_seminorm_step_control():
     assert int(masked.n_acc) < 0.3 * int(full.n_acc)
     # the controlled component stays accurate
     assert abs(float(masked.y_final[0]) - np.sin(3.0)) < 1e-6
+
+
+def test_second_order_hvp_through_stepper():
+    # Hessian-vector products (forward-over-reverse through the bounded-scan
+    # discrete adjoint) must match finite differences of the gradient —
+    # second-order sensitivity for Newton/Gauss-Newton trainers.
+    loss = _loss_fn(ude.DiscreteAdjoint())
+    p_flat, unravel = jax.flatten_util.ravel_pytree(P0)
+
+    def loss_flat(pf):
+        return loss(unravel(pf), U0)
+
+    v = jnp.array([0.3, -0.7, 0.5, 0.2])
+    _, hvp = jax.jvp(jax.grad(loss_flat), (p_flat,), (v,))
+    eps = 1e-5
+    g_hi = jax.grad(loss_flat)(p_flat + eps * v)
+    g_lo = jax.grad(loss_flat)(p_flat - eps * v)
+    fd = (g_hi - g_lo) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(hvp), np.asarray(fd),
+                               rtol=5e-4, atol=1e-4)
+    # and it jits
+    hvp_j = jax.jit(lambda pf, vv: jax.jvp(jax.grad(loss_flat), (pf,), (vv,))[1])(
+        p_flat, v)
+    np.testing.assert_allclose(np.asarray(hvp_j), np.asarray(hvp), rtol=1e-6)
