@@ -59,9 +59,11 @@ def fd_reference():
         ude.InterpolatingAdjoint(),
         ude.InterpolatingAdjoint(interp_nodes=2),
         ude.BacksolveAdjoint(),
+        ude.QuadratureAdjoint(),
+        ude.QuadratureAdjoint(quad_order=6),
     ],
     ids=["discrete", "discrete-noremat", "interpolating",
-         "interpolating-cubic", "backsolve"],
+         "interpolating-cubic", "backsolve", "quadrature", "quadrature-q6"],
 )
 def test_reverse_gradients_match_fd(adjoint, fd_reference):
     loss = _loss_fn(adjoint)

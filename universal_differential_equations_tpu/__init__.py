@@ -37,6 +37,7 @@ from .adjoint.sensitivity import (
     ForwardSensitivity,
     InterpolatingAdjoint,
     NoAdjoint,
+    QuadratureAdjoint,
 )
 
 from .nn.layers import (
@@ -59,7 +60,7 @@ __all__ = [
     "Rosenbrock23", "SDIRK3", "Kvaerno3", "SDIRK4", "daeint", "initialize_dae",
     "sdeint", "EulerMaruyama", "EulerHeun", "AdaptiveEM",
     "NoAdjoint", "DiscreteAdjoint", "ForwardSensitivity",
-    "InterpolatingAdjoint", "BacksolveAdjoint",
+    "InterpolatingAdjoint", "BacksolveAdjoint", "QuadratureAdjoint",
     "Chain", "Dense", "MLP", "FourierBasis", "StencilConv1D", "TensorLayer",
     "rbf",
     "fit", "fit_bfgs", "FitResult", "reduce_on_plateau", "bfgs_minimize",

@@ -5,4 +5,5 @@ from .sensitivity import (
     ForwardSensitivity,
     InterpolatingAdjoint,
     NoAdjoint,
+    QuadratureAdjoint,
 )

@@ -78,8 +78,11 @@ class DenseInterpolation:
         t0, t1 = self.ts[i], self.ts[i + 1]
         y0, y1 = self.ys[i], self.ys[i + 1]
         f0, f1 = self.fs[i], self.fs[i + 1]
+        # Degenerate intervals: a zero-step solve (num_points == 1) pairs the
+        # initial point with an untouched +inf buffer slot — guard h == 0 AND
+        # h == inf or the f-weighted terms produce 0·inf = NaN at s = 0.
         h = t1 - t0
-        h = jnp.where(h == 0, jnp.ones_like(h), h)
+        h = jnp.where(jnp.isfinite(h) & (h != 0), h, jnp.ones_like(h))
         s = (t - t0) / h
         if not derivative:
             h00 = (1 + 2 * s) * (1 - s) ** 2
