@@ -155,3 +155,28 @@ def test_second_order_hvp_through_stepper():
     hvp_j = jax.jit(lambda pf, vv: jax.jvp(jax.grad(loss_flat), (pf,), (vv,))[1])(
         p_flat, v)
     np.testing.assert_allclose(np.asarray(hvp_j), np.asarray(hvp), rtol=1e-6)
+
+
+def test_differentiable_error_sum_regularizer():
+    # arXiv:2105.03918 solver-heuristic regularization: sol.error_sum is the
+    # differentiable sum of tolerance-normalized local error norms on the
+    # bounded-scan paths — it grows with stiffness, has a positive gradient
+    # w.r.t. a stiffness parameter, and is None on while-loop paths.
+    def rhs(t, y, k):
+        return -k * y + jnp.sin(10.0 * t) * k
+
+    def esum(k, adjoint):
+        sol = ude.solve(
+            ude.ODEProblem(rhs, jnp.array([1.0]), (0.0, 3.0), k), ude.Tsit5(),
+            rtol=1e-6, atol=1e-8, adjoint=adjoint,
+        )
+        return sol
+
+    e1 = esum(jnp.asarray(1.0), ude.DiscreteAdjoint())
+    e25 = esum(jnp.asarray(25.0), ude.DiscreteAdjoint())
+    assert float(e25.error_sum) > 2.0 * float(e1.error_sum)
+    g = jax.grad(
+        lambda k: esum(k, ude.DiscreteAdjoint()).error_sum
+    )(jnp.asarray(5.0))
+    assert float(g) > 0.0 and np.isfinite(float(g))
+    assert esum(jnp.asarray(1.0), ude.NoAdjoint()).error_sum is None

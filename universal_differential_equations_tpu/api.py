@@ -120,5 +120,6 @@ def solve(
         num_rejected=res.n_rej,
         num_rhs_evals=res.nfe,
         dense=res.dense if dense else None,
+        error_sum=getattr(res, "err_sum", None),
         _unravel=unravel,
     )

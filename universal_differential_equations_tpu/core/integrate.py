@@ -50,6 +50,12 @@ class IntegrateResult(NamedTuple):
     n_acc: jnp.ndarray
     n_rej: jnp.ndarray
     nfe: jnp.ndarray
+    # Σ over step attempts of the tolerance-normalized local error norm,
+    # kept DIFFERENTIABLE (unlike the stop-gradient controller input) so a
+    # training loss can regularize it — learning dynamics that are cheap to
+    # integrate (arXiv:2105.03918).  Tracked on the scan driver; None on
+    # the while-loop paths (their gradients don't flow anyway).
+    err_sum: jnp.ndarray = None
 
 
 def _setup(f, y0, t0, t1, args, solver, rtol, atol, dt0):
@@ -122,10 +128,9 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     clamped = state.dt >= dt_cap
     dt = jnp.where(clamped, dt_cap, state.dt)
     y1, y_err, f1, nfe = solver.step(f_int, state.t, state.y, state.f, dt, args)
+    err_diff = hairer_norm(y_err, state.y, y1, rtol, atol, err_weights)
     # controller scalars are non-differentiable (see dt_init note in _setup)
-    err = jax.lax.stop_gradient(
-        hairer_norm(y_err, state.y, y1, rtol, atol, err_weights)
-    )
+    err = jax.lax.stop_gradient(err_diff)
     accept = err <= 1.0
     dt_next, err_prev = controller.next_dt(
         dt, err, state.err_prev, accept, solver.error_order
@@ -150,7 +155,7 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
         done=state.done | reached | underflow,
         failed=state.failed | underflow,
     )
-    return new, accept, t_new, y1, f1
+    return new, accept, t_new, y1, f1, err_diff
 
 
 def _result(buf_t, buf_y, buf_f, state, direction, tau1, nodes=2):
@@ -193,7 +198,7 @@ def integrate_while(
 
     def body(carry):
         state, buf_t, buf_y, buf_f = carry
-        new, accept, t_new, y1, f1 = _attempt(
+        new, accept, t_new, y1, f1, _ = _attempt(
             f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
             tstops, err_weights,
         )
@@ -223,24 +228,29 @@ def integrate_scan(
     y0_arr, f0 = state.y, state.f
     inf = jnp.asarray(jnp.inf, dtype)
 
+    zero = jnp.zeros((), dtype)
+
     def body(state, _):
         def stepped(state):
-            new, accept, t_new, y1, f1 = _attempt(
+            new, accept, t_new, y1, f1, err_diff = _attempt(
                 f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
                 tstops,
             )
             out_t = jnp.where(accept, t_new, inf)
-            return new, (out_t, y1, f1)
+            return new, (out_t, y1, f1, err_diff)
 
         def passthrough(state):
-            return state, (inf, state.y, state.f)
+            return state, (inf, state.y, state.f, zero)
 
         return jax.lax.cond(state.done, passthrough, stepped, state)
 
     if checkpoint:
         body = jax.checkpoint(body)
-    state, (out_t, out_y, out_f) = jax.lax.scan(body, state, None, length=max_steps)
+    state, (out_t, out_y, out_f, out_err) = jax.lax.scan(
+        body, state, None, length=max_steps
+    )
     state = state._replace(failed=state.failed | ~state.done)
+    err_sum = jnp.sum(out_err)
 
     # Prepend the initial point, then sort: accepted times are increasing and
     # rejected/idle slots hold +inf, so a stable argsort compacts the valid
@@ -249,8 +259,9 @@ def integrate_scan(
     buf_y = jnp.concatenate([y0_arr[None], out_y])
     buf_f = jnp.concatenate([f0[None], out_f])
     order = jnp.argsort(buf_t, stable=True)
-    return _result(buf_t[order], buf_y[order], buf_f[order], state, direction,
-                   tau1, nodes=getattr(solver, "dense_nodes", 2))
+    res = _result(buf_t[order], buf_y[order], buf_f[order], state, direction,
+                  tau1, nodes=getattr(solver, "dense_nodes", 2))
+    return res._replace(err_sum=err_sum)
 
 
 def integrate_fixed(f, y0, t0, t1, args, solver, n_steps):

@@ -212,6 +212,12 @@ class Solution:
     num_rejected: jnp.ndarray
     num_rhs_evals: jnp.ndarray
     dense: Optional[DenseInterpolation] = None
+    # Differentiable Σ of tolerance-normalized local error norms over step
+    # attempts (arXiv:2105.03918's solver-heuristic regularizer): add
+    # ``weight * sol.error_sum`` to a training loss to learn dynamics that
+    # are cheap to integrate.  Populated on the bounded-scan paths
+    # (``DiscreteAdjoint`` / ``ForwardSensitivity``); None elsewhere.
+    error_sum: Optional[jnp.ndarray] = None
     _unravel: Optional[Callable] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
