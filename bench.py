@@ -84,9 +84,15 @@ def main():
     residuals = make_residuals(rhs, ts, data)
     walls, losses = [], []
     # The TPU worker crashes sporadically (watchdog); a crashed run raises.
-    # Retry each seed once after confirming the device answers a probe, and
-    # report over the runs that completed (≥2 required).
+    # Retry each seed once ONLY after the device answers a probe again —
+    # after a crash dispatches hang rather than error (CLAUDE.md), so
+    # retrying against a wedged device would block forever.  If the probe
+    # deadline passes without recovery, stop and report over the runs that
+    # completed (≥2 required).
+    device_dead = False
     for seed in range(4):  # seed 0 includes compile; report median
+        if device_dead:
+            break
         for attempt in range(2):
             try:
                 wall, loss = train_run(seed, residuals)
@@ -94,8 +100,17 @@ def main():
                 print(f"# seed {seed} attempt {attempt} failed: {e!r}",
                       file=sys.stderr)
                 deadline = time.time() + 600
-                while time.time() < deadline and not probe_device():
+                recovered = False
+                while time.time() < deadline:
+                    if probe_device():
+                        recovered = True
+                        break
                     time.sleep(30)
+                if not recovered:
+                    print("# device did not recover; stopping retries",
+                          file=sys.stderr)
+                    device_dead = True
+                    break
                 continue
             walls.append(wall)
             losses.append(loss)

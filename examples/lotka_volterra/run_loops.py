@@ -42,7 +42,7 @@ import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu import sindy as sd
 from universal_differential_equations_tpu.io import KeyedArchive
 from universal_differential_equations_tpu.models import lotka_volterra as lv
-from universal_differential_equations_tpu.sindy.optimizers import STLSQ, masked_lstsq
+from universal_differential_equations_tpu.sindy.optimizers import STLSQ
 from universal_differential_equations_tpu.core.integrate import integrate_fixed
 from universal_differential_equations_tpu.train import bfgs_minimize, levenberg_marquardt
 from universal_differential_equations_tpu.utils import enable_compilation_cache
@@ -287,33 +287,14 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         Xh = ys_fixed[::SUB]
         Yh = jax.vmap(lambda u: net.apply(unravel(theta), u))(Xh)
         theta_feat = basis.theta(Xh)
-        N = Xh.shape[0]
-        fsc = jnp.linalg.norm(theta_feat, axis=0) / jnp.sqrt(1.0 * N)
-        fsc = jnp.where(fsc > 0, fsc, 1.0)
-        th_n = theta_feat / fsc
-        folds = jnp.asarray(sd.DataSampler(4).masks(N), jnp.float32)
-
-        def candidates(gram, corr):
-            xi, active = opt_s.fit_grid(gram, corr)
-            xi1 = jax.vmap(lambda mk: masked_lstsq(gram, corr, mk, 1e-7))(masks1)
-            return (jnp.concatenate([xi, jnp.where(masks1, xi1, 0.0)]),
-                    jnp.concatenate([active, masks1]))
 
         def ladder(y):
-            """Best candidate per support size 1..K_SEL, CV-scored."""
-            ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
-            yn = y / ysc
-            xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
-
-            def fold(wb):
-                keep = 1.0 - wb
-                xib, _ = candidates(th_n.T @ (th_n * keep[:, None]),
-                                    th_n.T @ (yn * keep))
-                rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
-                return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
-
-            cv = jax.vmap(fold)(folds).mean(axis=0)
-            return sd.best_per_support(xi * ysc / fsc, active, cv, K_SEL)
+            """Best candidate per support size 1..K_SEL, CV-scored
+            (library form: sindy.cv_ladder; exhaustive support-1 fits
+            appended because greedy thresholding cannot un-cancel
+            collinear groups)."""
+            return sd.cv_ladder(theta_feat, y, opt_s, K_SEL,
+                                extra_supports=masks1)
 
         # CV ranks candidates *within* each support size; the cross-size
         # choice is made by re-simulating every rung pair through the ODE

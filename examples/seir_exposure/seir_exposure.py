@@ -164,13 +164,7 @@ def main(quick=False, plot=False):
 
     m = len(basis)
     th_f = basis.theta(feats_h[1:])
-    Nf = th_f.shape[0]
     y_t = L_hat[1:]
-    fsc = jnp.linalg.norm(th_f, axis=0) / jnp.sqrt(1.0 * Nf)
-    fsc = jnp.where(fsc > 0, fsc, 1.0)
-    th_n = th_f / fsc
-    ysc = jnp.sqrt(jnp.mean(y_t**2)) + 1e-30
-    yn = y_t / ysc
     masks_small = jnp.concatenate([
         jnp.eye(m, dtype=bool),
         jnp.asarray([[i in c for i in range(m)]
@@ -180,30 +174,13 @@ def main(quick=False, plot=False):
 
     @jax.jit
     def build_ladder():
-        def candidates(gram, corr):
-            xi_g, act_g = opt_grid.fit_grid(gram, corr)
-            xi_s = jax.vmap(
-                lambda mk: sd.masked_lstsq(gram, corr, mk, 1e-7)
-            )(masks_small)
-            return (jnp.concatenate([xi_g, jnp.where(masks_small, xi_s, 0.0)]),
-                    jnp.concatenate([act_g, masks_small]))
-
-        xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
-        folds = jnp.asarray(sd.DataSampler(4).masks(Nf), th_n.dtype)
-
-        def fold(wb):
-            keep = 1.0 - wb
-            xib, _ = candidates(th_n.T @ (th_n * keep[:, None]),
-                                th_n.T @ (yn * keep))
-            rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
-            return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
-
-        cv = jax.vmap(fold)(folds).mean(axis=0)
-        # two candidates per support size: on this window sin(u2)
-        # near-aliases the true ~0.31*u2 exposure, so the runner-up
-        # support must reach the simulation judge
-        return sd.best_per_support(xi * ysc / fsc, active, cv, 4,
-                                   per_size=2)
+        # two candidates per support size (library form: sindy.cv_ladder):
+        # on this window sin(u2) near-aliases the true ~0.31*u2 exposure,
+        # so the runner-up support must reach the simulation judge; all
+        # 1- and 2-term supports are fit exhaustively because greedy
+        # thresholding cannot un-cancel collinear groups
+        return sd.cv_ladder(th_f, y_t, opt_grid, 4, per_size=2,
+                            extra_supports=masks_small)
 
     p_ = seir.P_SEIR
     F_n, beta0 = float(p_[0] / seir._S0), float(p_[1])

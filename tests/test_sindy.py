@@ -432,3 +432,41 @@ def test_select_by_simulation_inside_vmap_lanes():
         assert (act == np.asarray(C_true != 0.0)).all(), (lane, act)
         np.testing.assert_allclose(np.asarray(Cs[lane]), np.asarray(C_true),
                                    atol=5e-2)
+
+
+def test_cv_ladder_library_helper():
+    # cv_ladder (the shared front half of the simulation-judged pipeline):
+    # the true sparse combination appears at its support size in raw scale;
+    # `exclude` removes a feature from candidacy; `extra_supports` fits
+    # given supports exhaustively.
+    key = jax.random.PRNGKey(3)
+    X = jax.random.uniform(key, (60, 4), minval=0.5, maxval=1.5)
+    theta = jnp.concatenate([X, (X[:, :1] * X[:, 1:2])], axis=1)  # 5 feats
+    y = 2.0 * theta[:, 4] - 0.7 * theta[:, 2]  # true support {2, 4}
+    xi_k, ok_k = sd.cv_ladder(theta, y, sd.STLSQ((1e-3, 1e-2, 1e-1)), 3)
+    assert xi_k.shape == (3, 5) and ok_k.shape == (3,)
+    # rung with support size 2 recovers the true coefficients
+    rung2 = np.asarray(xi_k[1])
+    assert bool(ok_k[1])
+    np.testing.assert_allclose(rung2[[2, 4]], [-0.7, 2.0], rtol=1e-3)
+    assert np.abs(rung2[[0, 1, 3]]).max() < 1e-6
+
+    # excluding the dominant feature forces a different structure
+    xi_ex, _ = sd.cv_ladder(theta, y, sd.STLSQ((1e-3, 1e-2, 1e-1)), 3,
+                            exclude=(4,))
+    assert np.asarray(xi_ex)[:, 4].max() == 0.0
+
+    # extra_supports guarantees an exact 2-support candidate exists even
+    # with a degenerate threshold grid
+    want = jnp.zeros((1, 5), bool).at[0, [2, 4]].set(True)
+    xi_es, ok_es = sd.cv_ladder(theta, y, sd.STLSQ((1e3,)), 3,
+                                extra_supports=want)
+    assert bool(ok_es[1])
+    np.testing.assert_allclose(np.asarray(xi_es[1])[[2, 4]], [-0.7, 2.0],
+                               rtol=1e-3)
+
+    # traceable under jit
+    xi_j, _ = jax.jit(
+        lambda th, yy: sd.cv_ladder(th, yy, sd.STLSQ((1e-2,)), 3)
+    )(theta, y)
+    assert np.isfinite(np.asarray(xi_j)).all()

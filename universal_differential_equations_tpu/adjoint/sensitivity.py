@@ -282,7 +282,7 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
             return (z, t_lo, mu), res.success
 
         n_seg = ts_save.shape[0]
-        (z, t_hi, mu), _seg_ok = jax.lax.scan(
+        (z, t_hi, mu), seg_ok = jax.lax.scan(
             q_segment, (g_yfin, t1, mu0_flat), jnp.arange(n_seg - 1, -1, -1)
         )
         res = integrate_while(
@@ -290,8 +290,14 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
             cfg.segment_max_steps, ctrl,
         )
         mu = mu + seg_mu(res.dense, t0, t_hi)
+        # A failed λ segment would feed its clamped dense tail into the
+        # quadrature and return a silently wrong gradient — poison instead
+        # (see the shared note at the end of this function).
+        ok = jnp.all(seg_ok) & res.success
+        poison = lambda x: jnp.where(ok, x, jnp.full_like(x, jnp.nan))
         zero = lambda x: jnp.zeros_like(jnp.asarray(x))
-        return (res.y_final, zero(t0), zero(t1), unravel_mu(mu),
+        return (poison(res.y_final), zero(t0), zero(t1),
+                jax.tree.map(poison, unravel_mu(mu)),
                 jnp.zeros_like(ts_save), jax.tree.map(jnp.zeros_like, tstops))
 
     if cfg.kind == "interp":
@@ -363,10 +369,17 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
     else:
         y0_bar = z[dim : 2 * dim]
         mu = z[2 * dim :]
-    args_bar = unravel_mu(mu)
+    # Backward-segment failure (segment_max_steps exhausted, dt underflow)
+    # would otherwise return a silently wrong gradient built from the last
+    # reached adjoint state.  Raising is impossible under jit; NaN-poisoning
+    # is the loud equivalent, and the ensemble layer already masks NaN
+    # lanes (the vectorized try/catch, SURVEY.md §5).
+    ok = jnp.all(seg_ok) & res.success
+    poison = lambda x: jnp.where(ok, x, jnp.full_like(x, jnp.nan))
+    args_bar = jax.tree.map(poison, unravel_mu(mu))
     zero = lambda x: jnp.zeros_like(jnp.asarray(x))
-    return (y0_bar, zero(t0), zero(t1), args_bar, jnp.zeros_like(ts_save),
-            jax.tree.map(jnp.zeros_like, tstops))
+    return (poison(y0_bar), zero(t0), zero(t1), args_bar,
+            jnp.zeros_like(ts_save), jax.tree.map(jnp.zeros_like, tstops))
 
 
 _cont_solve.defvjp(_cont_fwd, _cont_bwd)

@@ -128,9 +128,23 @@ def _attempt(f_int, solver, controller, rtol, atol, tau1, state, args, dtype,
     clamped = state.dt >= dt_cap
     dt = jnp.where(clamped, dt_cap, state.dt)
     y1, y_err, f1, nfe = solver.step(f_int, state.t, state.y, state.f, dt, args)
-    err_diff = hairer_norm(y_err, state.y, y1, rtol, atol, err_weights)
     # controller scalars are non-differentiable (see dt_init note in _setup)
-    err = jax.lax.stop_gradient(err_diff)
+    err = jax.lax.stop_gradient(
+        hairer_norm(y_err, state.y, y1, rtol, atol, err_weights)
+    )
+    # Differentiable error accumulator (arXiv:2105.03918) — NOT the
+    # controller's copy: ε-smoothed scaled norm (bare sqrt'(0) = inf would
+    # NaN gradients at exactly-zero local error, e.g. a zero-initialized
+    # missing-term net; the chain rule through mean(ratio²)'s zero gradient
+    # makes the smoothed form's gradient exactly 0 there), with non-finite
+    # ratios zeroed so rejected blow-up attempts contribute nothing instead
+    # of hairer_norm's gradient-free 1e10 clamp.
+    scale = atol + rtol * jax.lax.stop_gradient(
+        jnp.maximum(jnp.abs(state.y), jnp.abs(y1))
+    )
+    ratio = y_err / scale
+    ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.0)
+    err_diff = jnp.sqrt(jnp.mean(ratio * ratio) + 1e-12)
     accept = err <= 1.0
     dt_next, err_prev = controller.next_dt(
         dt, err, state.err_prev, accept, solver.error_order

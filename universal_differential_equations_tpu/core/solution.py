@@ -215,8 +215,11 @@ class Solution:
     # Differentiable Σ of tolerance-normalized local error norms over step
     # attempts (arXiv:2105.03918's solver-heuristic regularizer): add
     # ``weight * sol.error_sum`` to a training loss to learn dynamics that
-    # are cheap to integrate.  Populated on the bounded-scan paths
-    # (``DiscreteAdjoint`` / ``ForwardSensitivity``); None elsewhere.
+    # are cheap to integrate.  The per-attempt norm is ε-smoothed
+    # (sqrt(mean(ratio²) + 1e-12)) so the gradient is zero — not NaN — at
+    # exactly-zero local error, and non-finite ratios are zeroed so
+    # rejected blow-up attempts add nothing.  Populated on the bounded-scan
+    # paths (``DiscreteAdjoint``/``ForwardSensitivity``); None elsewhere.
     error_sum: Optional[jnp.ndarray] = None
     _unravel: Optional[Callable] = dataclasses.field(
         default=None, metadata=dict(static=True)

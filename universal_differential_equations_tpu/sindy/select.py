@@ -38,7 +38,85 @@ import jax.numpy as jnp
 
 from ..core.integrate import integrate_fixed
 
-__all__ = ["best_per_support", "select_by_simulation"]
+__all__ = ["best_per_support", "cv_ladder", "select_by_simulation"]
+
+
+def cv_ladder(theta, y, optimizer, max_support, *, per_size: int = 1,
+              fold_masks=None, n_folds: int = 4, exclude=(),
+              extra_supports=None, ridge: float = 1e-7):
+    """CV-scored parsimony ladder from a feature matrix and one target.
+
+    The shared front half of the simulation-judged recovery pipeline (used
+    by ``hudson_bay.py``, ``run_loops.py`` and ``seir_exposure.py``):
+    normalize features by column RMS and the target by its RMS, fit the
+    optimizer's full candidate grid on the normal equations (plus an
+    optional exhaustive set of fixed supports), score every candidate by
+    K-fold cross-validation (candidates refit on each fold's kept rows,
+    residuals on the held-out rows), and compress with
+    :func:`best_per_support` to the best candidate(s) per support size —
+    returned in RAW feature scale, ready for :func:`select_by_simulation`.
+
+    Args:
+      theta: (N, m) feature matrix Θ(X).
+      y: (N,) regression target.
+      optimizer: object with ``fit_grid(gram, corr) -> (xi, active)``
+        (``STLSQ``/``SR3``/``STRRidge``).
+      max_support: ladder height — support sizes 1..max_support.
+      per_size: distinct-support candidates kept per size (runner-ups for
+        the simulation judge to separate near-aliases).
+      fold_masks: (K, N) arrays, 1 = held-out rows of fold k; defaults to
+        ``DataSampler(n_folds)`` contiguous folds.
+      exclude: feature column indices zeroed before fitting — the
+        physics-informed restriction for terms the model already carries.
+      extra_supports: optional (L, m) bool masks fit exhaustively by
+        masked least squares and appended to the candidate grid (greedy
+        thresholding cannot un-cancel collinear groups).
+      ridge: ridge used for the exhaustive ``extra_supports`` fits.
+
+    Fully traceable (jit/vmap-safe for static shapes).
+    """
+    from .optimizers import masked_lstsq
+    from .solve import DataSampler
+
+    theta = jnp.asarray(theta)
+    y = jnp.asarray(y)
+    n_rows = theta.shape[0]
+    exclude = tuple(exclude)
+    if exclude:
+        theta = theta.at[:, jnp.asarray(exclude)].set(0.0)
+    fsc = jnp.linalg.norm(theta, axis=0) / jnp.sqrt(1.0 * n_rows)
+    fsc = jnp.where(fsc > 0, fsc, 1.0)
+    th_n = theta / fsc
+    if fold_masks is None:
+        fold_masks = DataSampler(n_folds).masks(n_rows)
+    folds = jnp.asarray(fold_masks, th_n.dtype)
+    ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
+    yn = y / ysc
+    if extra_supports is not None:
+        extra_supports = jnp.asarray(extra_supports, bool)
+
+    def candidates(gram, corr):
+        xi, active = optimizer.fit_grid(gram, corr)
+        if extra_supports is not None:
+            xe = jax.vmap(
+                lambda mk: masked_lstsq(gram, corr, mk, ridge)
+            )(extra_supports)
+            xi = jnp.concatenate([xi, jnp.where(extra_supports, xe, 0.0)])
+            active = jnp.concatenate([active, extra_supports])
+        return xi, active
+
+    xi, active = candidates(th_n.T @ th_n, th_n.T @ yn)
+
+    def fold(wb):
+        keep = 1.0 - wb
+        xib, _ = candidates(th_n.T @ (th_n * keep[:, None]),
+                            th_n.T @ (yn * keep))
+        rb = (th_n @ xib.T - yn[:, None]) * wb[:, None]
+        return jnp.sum(rb**2, axis=0) / jnp.maximum(wb.sum(), 1.0)
+
+    cv = jax.vmap(fold)(folds).mean(axis=0)
+    return best_per_support(xi * ysc / fsc, active, cv, max_support,
+                            per_size=per_size)
 
 
 def best_per_support(xi, active, score, max_support, per_size: int = 1):
