@@ -156,3 +156,31 @@ def test_deep_bsde_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(res_sh.losses),
                                np.asarray(res_ref.losses), rtol=1e-5)
     np.testing.assert_allclose(float(res_sh.u0), float(res_ref.u0), rtol=1e-5)
+
+
+def test_adaptive_em_exact_zero_state_not_forward_filled():
+    # An accepted state that is exactly the zero vector must count as
+    # visited: saveat snapping forward-fills from the nearest *visited*
+    # slot, and inferring visitedness from ys != 0 would hold the last
+    # nonzero value across the zero crossing.
+    #
+    # Deterministic construction: dy = -dt, grid_resolution 256 on [0, 2]
+    # (h = 1/128, all binary fractions, arithmetic exact).  The doubling
+    # controller's accepted writes land on slots {4, 12, 28, 60, 124, 252};
+    # u0 = 124h = 0.96875 puts EXACTLY 0.0 into visited slot 124, so every
+    # query in [124h, 252h) must read 0.0 — not forward-fill 0.5 from
+    # slot 60 as the ys != 0 inference would.
+    prob = SDEProblem(
+        f=lambda t, y, args: -jnp.ones_like(y),
+        g=lambda t, y, args: jnp.zeros_like(y),  # deterministic path
+        u0=jnp.array([0.96875]),
+        tspan=(0.0, 2.0),
+    )
+    alg = AdaptiveEM(grid_resolution=256, abstol=1e-6, reltol=1e-5)
+    ts = jnp.asarray([0.0, 1.5, 2.0])
+    sol = alg.solve(prob, key=jax.random.PRNGKey(0), saveat=ts)
+    assert bool(sol.success)
+    np.testing.assert_allclose(float(sol.ys[0, 0]), 0.96875, atol=1e-12)
+    assert float(sol.ys[1, 0]) == 0.0, float(sol.ys[1, 0])
+    np.testing.assert_allclose(float(sol.y_final[0]), 0.96875 - 2.0,
+                               atol=1e-6)

@@ -306,3 +306,19 @@ def test_eigen_est_power_iteration():
     D1, D2, eig = cn.getops(48, dtype=jnp.float64)
     est = float(cn.eigen_est(D2))
     assert abs(est - eig) / eig < 0.1
+
+
+def test_rock_f32_state_keeps_dtype_under_x64():
+    # ROCK coefficients must be weak Python floats: np.float64 scalars would
+    # promote an f32 loop carry under x64 and break the while_loop carry
+    # (or silently upcast the whole solve — f64 crashes the TPU worker).
+    from universal_differential_equations_tpu.solvers.rock import ROCK2, ROCK4
+
+    y0 = jnp.array([1.0], jnp.float32)
+    for solver in (ROCK2(stages=9, rho=4.0), ROCK4(stages=9, rho=4.0)):
+        sol = ude.solve(
+            ude.ODEProblem(lambda t, y, a: -2.0 * y, y0, (0.0, 1.0), None),
+            solver, rtol=1e-5, atol=1e-7, adjoint=ude.NoAdjoint(),
+        )
+        assert sol.y_final.dtype == jnp.float32, solver.name
+        assert abs(float(sol.y_final[0]) - np.exp(-2.0)) < 1e-3

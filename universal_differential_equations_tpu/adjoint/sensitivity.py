@@ -88,6 +88,15 @@ class DiscreteAdjoint(AbstractAdjoint):
 
     ``checkpoint=True`` remats each step, keeping reverse-mode memory at one
     carry per step instead of all RK stages.
+
+    Caveat: if a *rejected* attempt overflows to inf/NaN (the controller
+    recovers the primal, mapping the error to a huge-but-finite value), the
+    backward pass still evaluates that attempt's partials, and the masked
+    zero cotangent times a NaN partial is NaN — the whole gradient poisons
+    even though the forward loss is finite (IEEE, not fixable by output
+    masking).  If training hits this, use ``InterpolatingAdjoint``: its
+    backward pass reads only the accepted trajectory's interpolant and
+    never differentiates rejected attempts.
     """
 
     checkpoint: bool = True

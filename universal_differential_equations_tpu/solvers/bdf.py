@@ -174,7 +174,9 @@ def daeint(
     if not 1 <= max_order <= _MAX_ORDER:
         raise ValueError(f"max_order must be 1..{_MAX_ORDER}, got {max_order}")
     if x64_host == "auto" and jnp.zeros(()).dtype == jnp.float32:
-        leaves = jax.tree.leaves((problem.u0, problem.du0, problem.args))
+        leaves = jax.tree.leaves(
+            (problem.u0, problem.du0, problem.args, problem.tspan)
+        )
         traced = any(isinstance(l, jax.core.Tracer) for l in leaves)
         if not traced:
             import numpy as np
@@ -203,17 +205,34 @@ def daeint(
                                               sol64.num_accepted, sol64.num_rejected,
                                               sol64.num_rhs_evals),
                 )
+                dense_h = None
+                if dense and sol64.dense is not None:
+                    dense_h = jax.tree.map(
+                        lambda x: np.asarray(x),
+                        (sol64.dense.ts, sol64.dense.ys, sol64.dense.fs,
+                         sol64.dense.num_points, sol64.dense.direction),
+                    )
             ts_h, ys_h, tf_h, yf_h, ok_h, na, nr, ne = host
             f32 = lambda x: jax.tree.map(
                 lambda a: jnp.asarray(a, jnp.float32)
                 if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
                 x,
             )
+            interp = None
+            unravel32 = None
+            if dense_h is not None:
+                dts, dys, dfs, dnpts, ddir = dense_h
+                interp = DenseInterpolation(
+                    ts=f32(dts), ys=f32(dys), fs=f32(dfs),
+                    num_points=jnp.asarray(dnpts), direction=f32(ddir),
+                    nodes=sol64.dense.nodes,
+                )
+                unravel32 = ravel_pytree(problem.u0)[1]
             return Solution(
                 ts=f32(ts_h), ys=f32(ys_h), t_final=f32(tf_h), y_final=f32(yf_h),
                 success=jnp.asarray(ok_h), num_accepted=jnp.asarray(na),
                 num_rejected=jnp.asarray(nr), num_rhs_evals=jnp.asarray(ne),
-                dense=None, _unravel=None,
+                dense=interp, _unravel=unravel32,
             )
     u0_tree, du0_tree = problem.u0, problem.du0
     if initialize:

@@ -41,15 +41,11 @@ __all__ = ["Kvaerno3", "SDIRK4"]
 
 
 def _kvaerno3_tableau():
-    # γ: root of x³ - 3x² + 3x/2 - 1/6 in (1/6, 1/2), Newton in f64 host
-    g = 0.44
-    for _ in range(60):
-        fv = g**3 - 3.0 * g**2 + 1.5 * g - 1.0 / 6.0
-        dv = 3.0 * g**2 - 6.0 * g + 1.5
-        g_new = g - fv / dv
-        if abs(g_new - g) < 1e-17:
-            break
-        g = g_new
+    # γ: root of x³ - 3x² + 3x/2 - 1/6 in (1/6, 1/2) — the same constant
+    # SDIRK3 derives; import it so the two methods cannot silently diverge
+    from .sdirk import _gamma
+
+    g = _gamma()
     a32 = (0.5 - g) / (2.0 * g)
     a31 = 1.0 - g - a32
     b2 = 1.0 / (12.0 * g * (1.0 - 2.0 * g))

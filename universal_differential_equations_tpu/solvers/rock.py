@@ -200,7 +200,12 @@ def _derive_rock2(s: int):
         # consistency check: p_j(0) = 1  ⇔  ν + κ = 1
         if j > 0:
             assert abs(nu[j] + kappa[j] - 1.0) < 1e-9, (s, j, nu[j] + kappa[j])
-    return mu, nu, kappa, c, float(sigma), float(tau), float(l)
+    # weak Python floats: np.float64 scalars would promote f32 loop carries
+    # under x64 and break the while_loop carry dtype (every other solver's
+    # tableau uses plain floats)
+    return (tuple(map(float, mu)), tuple(map(float, nu)),
+            tuple(map(float, kappa)), tuple(map(float, c)),
+            float(sigma), float(tau), float(l))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -251,8 +256,6 @@ class ROCK2:
         return ROCK2(stages=min(s, max_stages), rho=rho)
 
     def step(self, f, t, y, f0, dt, args):
-        import jax.numpy as jnp
-
         s = self.stages
         mu, nu, kappa, c, sigma, tau, _ = _derive_rock2(s)
 
@@ -490,7 +493,11 @@ def _derive_rock4(s: int):
         M[i] = ph[t][nodes]
     n = np.linalg.svd(M)[2][-1]
     c = rows.sum(1)
-    return best["mu"], best["nu"], best["kap"], c, best["x"], n, float(best["l"])
+    # weak Python floats (see _derive_rock2's return note)
+    return (tuple(map(float, best["mu"])), tuple(map(float, best["nu"])),
+            tuple(map(float, best["kap"])), tuple(map(float, c)),
+            tuple(map(float, best["x"])), tuple(map(float, n)),
+            float(best["l"]))
 
 
 @dataclasses.dataclass(frozen=True)

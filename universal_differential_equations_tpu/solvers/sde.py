@@ -126,20 +126,15 @@ def sdeint(
 
     m = y0_flat.shape[0] if noise_dim is None else noise_dim
     dws = _brownian_increments(key, n_steps, m, jnp.abs(h), dtype)
-    if noise_dim is None:
-        pass  # (n, dim) elementwise
     ts_grid = t0 + h * jnp.arange(n_steps + 1, dtype=dtype)
 
-    def body(carry, inp):
-        y, i = carry
+    def body(y, inp):
         t, dw = inp
         y1 = solver.step(f_flat, g_flat, t, y, h, dw, problem.args, noise_dim)
-        return (y1, i + 1), y1
+        return y1, y1
 
     step_fn = jax.checkpoint(body) if checkpoint else body
-    (y_final, _), ys_grid = jax.lax.scan(
-        step_fn, (y0_flat, jnp.asarray(0, jnp.int32)), (ts_grid[:-1], dws)
-    )
+    y_final, ys_grid = jax.lax.scan(step_fn, y0_flat, (ts_grid[:-1], dws))
     ys_grid = jnp.concatenate([y0_flat[None], ys_grid])  # (n+1, dim)
 
     if saveat is None:
@@ -204,11 +199,11 @@ class AdaptiveEM:
         W = jnp.concatenate([jnp.zeros((1, m), dtype), jnp.cumsum(incs, 0)])
 
         def cond(s):
-            i, y, cells, n, _ = s
+            i, y, cells, n, *_ = s
             return (i < n_grid) & (n < self.max_steps)
 
         def body(s):
-            i, y, cells, n, ys = s
+            i, y, cells, n, ys, vis = s
             cells = jnp.minimum(cells, n_grid - i)
             t = t0 + i * h_min
             dt = cells * h_min
@@ -229,16 +224,22 @@ class AdaptiveEM:
                 jnp.maximum(cells // 2, 1),
             )
             ys = jnp.where(accept, ys.at[i + cells].set(y_pred), ys)
-            return (i_new, y_new, cells_new, n + 1, ys)
+            # explicit visited flags: inferring "visited" from ys != 0 would
+            # treat an accepted exactly-zero state (absorbing point of
+            # multiplicative noise in f32) as unvisited and forward-fill
+            # stale values over it
+            vis = jnp.where(accept, vis.at[i + cells].set(True), vis)
+            return (i_new, y_new, cells_new, n + 1, ys, vis)
 
         ys0 = jnp.zeros((n_grid + 1, y0_flat.shape[0]), dtype).at[0].set(y0_flat)
+        vis0 = jnp.zeros((n_grid + 1,), bool).at[0].set(True)
         init = (jnp.asarray(0, jnp.int32), y0_flat, jnp.asarray(4, jnp.int32),
-                jnp.asarray(0, jnp.int32), ys0)
-        i, y_final, _, n_used, ys_sparse = jax.lax.while_loop(cond, body, init)
-
+                jnp.asarray(0, jnp.int32), ys0, vis0)
+        i, y_final, _, n_used, ys_sparse, visited = jax.lax.while_loop(
+            cond, body, init
+        )
         # forward-fill unvisited grid slots so saveat snapping is piecewise
         # constant between accepted points
-        visited = jnp.any(ys_sparse != 0, axis=1) | (jnp.arange(n_grid + 1) == 0)
 
         ts_grid = t0 + h_min * jnp.arange(n_grid + 1, dtype=dtype)
         if saveat is None:
