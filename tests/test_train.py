@@ -7,6 +7,7 @@ import optax
 from universal_differential_equations_tpu.train import (
     bfgs_minimize,
     fit,
+    levenberg_marquardt,
     reduce_on_plateau,
 )
 
@@ -89,3 +90,30 @@ def test_reduce_on_plateau():
     assert sched(0.5) == 0.1  # improving
     assert sched(0.6) == 0.1  # stale 1
     assert abs(sched(0.6) - 0.01) < 1e-12  # stale 2 > patience → decay
+
+
+def test_lm_converged_flag_semantics():
+    # converged must mean "terminated via a tolerance", not "any finite loss"
+    import jax.numpy as jnp
+
+    # trivially solvable: converges via loss_tol
+    res = levenberg_marquardt(lambda p: p - 3.0, jnp.zeros(2), maxiters=50,
+                              loss_tol=1e-10)
+    assert bool(res.converged) and float(res.loss) < 1e-10
+    # exhausting the iteration budget far from any tolerance is NOT
+    # convergence (the old flag was tautologically True for any finite loss)
+    def rosen_r(p):
+        return jnp.stack([10.0 * (p[1] - p[0] ** 2), 1.0 - p[0]])
+
+    res2 = levenberg_marquardt(rosen_r, jnp.array([-1.5, 2.0]), maxiters=1,
+                               gtol=1e-12)
+    assert not bool(res2.converged)
+
+
+def test_bfgs_failed_line_search_not_converged_by_ftol():
+    import jax.numpy as jnp
+
+    # a well-behaved quadratic must still converge with ftol set
+    res = bfgs_minimize(lambda p: jnp.sum((p - 2.0) ** 2), jnp.zeros(3),
+                        maxiters=100, ftol=1e-12)
+    assert float(res.value) < 1e-8

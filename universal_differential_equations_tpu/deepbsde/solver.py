@@ -183,7 +183,8 @@ def mc_analytical_hjb(g, x0, T, lam, key, n_samples: int = 10**5,
     ``u(0,x) = -(1/λ)·log E[exp(−λ·g(x + √2·√T·W))]`` (``lambaem.jl:36-43``).
     Batched to bound device memory."""
     d = x0.shape[0]
-    n_batches = n_samples // batch
+    batch = min(batch, n_samples)
+    n_batches = -(-n_samples // batch)  # ceil: use ALL requested samples
 
     def one_batch(k):
         w = jax.random.normal(k, (batch, d), x0.dtype)

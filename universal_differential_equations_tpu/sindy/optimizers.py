@@ -132,7 +132,13 @@ class SR3:
             w0 = A_inv @ corr
             w, _ = jax.lax.scan(body, w0, None, length=self.maxiter)
             active = w != 0.0
-            xi = masked_lstsq(gram, corr, active)
+            # same eps-ridge guard as the STLSQ refit: an active block with
+            # more features than rows is exactly singular and would return
+            # NaN coefficients marked active
+            eps_ridge = (
+                10.0 * jnp.finfo(gram.dtype).eps * jnp.mean(jnp.diag(gram))
+            )
+            xi = masked_lstsq(gram, corr, active, eps_ridge)
             return jnp.where(active, xi, 0.0), active
 
         lams = jnp.asarray(self.thresholds, gram.dtype)

@@ -74,6 +74,12 @@ def cv_ladder(theta, y, optimizer, max_support, *, per_size: int = 1,
       ridge: ridge used for the exhaustive ``extra_supports`` fits.
 
     Fully traceable (jit/vmap-safe for static shapes).
+
+    Note: :func:`sindy` (solve.py) carries its own per-target fold-CV
+    scorer inside its end-to-end pipeline (denoise → normalize → sweep →
+    select); the fold-refit kernel here intentionally mirrors it.  A change
+    to the CV semantics (fold weighting, held-out normalization) must be
+    applied in both places.
     """
     from .optimizers import masked_lstsq
     from .solve import DataSampler

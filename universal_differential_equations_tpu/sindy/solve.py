@@ -299,9 +299,14 @@ def sindy(
         sparsity=np.asarray(ks),
         aicc=np.asarray(_aicc(jnp.asarray(ks), jnp.asarray(rss), N)),
         scores=np.asarray(scores),
-        chosen_thresholds=thresholds[
-            np.minimum(np.asarray(best_idx), len(thresholds) - 1)
-        ],
+        # winners drawn from the exhaustive-support grid (index past the
+        # threshold sweep) have no threshold — report NaN, not a clamped
+        # grid value the sweep never produced
+        chosen_thresholds=np.where(
+            np.asarray(best_idx) < n_grid_candidates,
+            thresholds[np.minimum(np.asarray(best_idx), n_grid_candidates - 1)],
+            np.nan,
+        ),
     )
 
 

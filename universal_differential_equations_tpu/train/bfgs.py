@@ -243,8 +243,12 @@ def _bfgs_core(fun, maxiters, initial_stepnorm, allow_f_increases,
         f_keep = jnp.where(progressed, f_new, s.f)
         g_keep = jnp.where(progressed, g_new, s.g)
         gnorm = jnp.max(jnp.abs(g_keep))
+        # the ftol clause only counts on a *successful* step: a failed line
+        # search leaves f_new == s.f and would otherwise report a stalled
+        # run as converged instead of taking the reset-Hessian retry below
         conv = (gnorm < gtol) | (
-            (ftol > 0) & (jnp.abs(f_new - s.f) <= ftol * jnp.abs(s.f))
+            progressed & (ftol > 0)
+            & (jnp.abs(f_new - s.f) <= ftol * jnp.abs(s.f))
         )
         # A failed line search gets one retry from a reset (identity-scaled)
         # inverse Hessian before terminating — quasi-Newton curvature can go

@@ -114,8 +114,10 @@ def reduce_on_plateau(lr0: float, *, factor: float = 0.1, patience: int = 2,
     ``patience`` non-improving callback windows (the climate training loop's
     schedule, ``neural_pde_rayleigh_taylor_instability.jl:175-181``).
 
-    Returns ``(schedule_cb, inject)``: use ``optax.inject_hyperparams`` on the
-    optimizer and call ``schedule_cb(loss, opt_state)`` from the fit callback.
+    Returns a single ``update(loss) -> lr`` callable: feed it the loss from
+    the fit callback and pass the returned learning rate to the optimizer
+    (e.g. via ``optax.inject_hyperparams`` and writing
+    ``opt_state.hyperparams["learning_rate"]``).
     """
     state = {"best": float("inf"), "stale": 0, "lr": lr0}
 

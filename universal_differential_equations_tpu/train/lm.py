@@ -131,5 +131,7 @@ def _lm_core(
         loss=s.loss,
         iterations=s.k,
         lam=s.lam,
-        converged=s.loss <= jnp.maximum(loss_tol, s.loss),
+        # terminated via a tolerance (loss_tol / gtol), not via stall or the
+        # iteration budget
+        converged=s.done & (s.stall < max_stall),
     )

@@ -26,6 +26,8 @@ def shooting_windows(num_points: int, group_size: int):
     """Segment index windows with one-point overlap (DiffEqFlux semantics):
     starts at 0, g-1, 2(g-1), …; a ragged tail is clamped to the last index
     and masked out of the loss."""
+    if group_size < 2:
+        raise ValueError(f"group_size must be >= 2, got {group_size}")
     stride = group_size - 1
     n_seg = max(1, -(-(num_points - 1) // stride))
     starts = jnp.arange(n_seg) * stride
@@ -82,9 +84,9 @@ def multiple_shoot(
         prob = ODEProblem(rhs, u0, (tw[0], tw[-1]), params)
         sol = solve(prob, solver, saveat=tw, rtol=rtol, atol=atol,
                     adjoint=adjoint, max_steps=max_steps)
-        return sol.ys
+        return sol.ys, sol.success
 
-    preds = jax.vmap(solve_segment)(u0s, seg_ts)  # (n_seg, g, dim)
+    preds, seg_ok = jax.vmap(solve_segment)(u0s, seg_ts)  # (n_seg, g, dim)
 
     if loss_fn is None:
         def loss_fn(pred, target, m):
@@ -96,4 +98,13 @@ def multiple_shoot(
     starts = seg_data[1:, 0, :]
     seg_valid = mask[:-1, -1]  # only fully-covered segment ends
     continuity = jnp.sum(seg_valid[:, None] * (ends - starts) ** 2)
-    return data_loss + continuity_term * continuity
+    # A segment that exhausts max_steps (dt underflow, stiff parameter
+    # region) clamps its dense-output tail — finite but wrong values that
+    # would silently enter the loss.  A large finite penalty per failed
+    # segment makes line searches and LM reject the region while keeping
+    # ADAM's gradients finite (the vectorized analogue of the reference's
+    # try/catch around a failed shooting solve).
+    failure_penalty = 1e4 * jnp.sum(
+        jnp.where(seg_ok, 0.0, 1.0).astype(data_loss.dtype)
+    )
+    return data_loss + continuity_term * continuity + failure_penalty
