@@ -89,9 +89,12 @@ def advection_diffusion_3d(
         c, _ = jax.lax.scan(step, c, None, length=ni)
         return c, jnp.max(jnp.abs(rhs(c)))
 
-    # stability-limited dt wizard: diffusive limit + forcing-CFL analogue
+    # stability-limited dt wizard: diffusive limit + forcing-CFL analogue.
+    # The save-cadence cap mirrors rayleigh_taylor_3d: one save per chunk,
+    # so the chunk span must not exceed save_every.
     diff_dt = cfl * dx[0] ** 2 / (6.0 * kappa)
-    t, dt = 0.0, min(1e-4, diff_dt)
+    dt_save_cap = save_every / ni
+    t, dt = 0.0, min(1e-4, diff_dt, dt_save_cap)
     save_ts, profiles = [], []
     next_save = 0.0
     while t < end_time:
@@ -103,7 +106,7 @@ def advection_diffusion_3d(
         t += ni * dt
         # wizard: grow toward the stability budget, cap change at 1.2×
         dt_target = min(diff_dt, cfl * 1.0 / max(float(fmax), 1e-8), max_dt)
-        dt = min(dt * 1.2, dt_target)
+        dt = min(dt * 1.2, dt_target, dt_save_cap)
     save_ts.append(t)
     profiles.append(np.asarray(c.mean(axis=(0, 1))))
     return np.asarray(save_ts), np.stack(profiles)
@@ -265,7 +268,11 @@ def rayleigh_taylor_3d(
     # (the reference wizard's max_Δt cap plays this role)
     buoy_dt = cfl * (min_dx / max(b_amp, 1e-12)) ** 0.5
     diff_dt = 0.2 * min_dx**2 / (6.0 * max(nu, kappa))
-    t, dt = 0.0, min(1e-4, buoy_dt, diff_dt)
+    # cap the jitted chunk's span at save_every: the loop saves at most one
+    # profile per chunk, so an adaptively-grown dt would otherwise skip
+    # save points and deliver a sparser grid than requested
+    dt_save_cap = save_every / ni
+    t, dt = 0.0, min(1e-4, buoy_dt, diff_dt, dt_save_cap)
     save_ts, profiles = [], []
     next_save = 0.0
     while t < end_time:
@@ -276,7 +283,7 @@ def rayleigh_taylor_3d(
         state, umax = chunk(state, jnp.asarray(dt, dtype))
         t += ni * dt
         adv_dt = cfl * min_dx / max(float(umax), 1e-6)
-        dt = min(dt * 1.2, adv_dt, buoy_dt, diff_dt)
+        dt = min(dt * 1.2, adv_dt, buoy_dt, diff_dt, dt_save_cap)
     save_ts.append(t)
     profiles.append(np.asarray(state[3].mean(axis=(0, 1))))
     return np.asarray(save_ts), np.asarray(z), np.stack(profiles)

@@ -33,13 +33,13 @@ def getops(n_grid: int = 32, kappa: float = 0.05, dtype=jnp.float32):
     dz = 1.0 / (N - 1)
     n = N - 2  # interior points
 
-    # D1: first-order upwind ∂z with ghost columns folded in
+    # D1: first-order upwind ∂z with ghost columns folded in.  Reference
+    # detail: D1_B[1,1]=-1 touches the *ghost* column, which QQ zeroes, so
+    # the first interior row keeps only its +1/dz diagonal entry — i.e. the
+    # fold leaves the interior matrix unchanged (verified against
+    # npde.jl:17-46; no special-casing of D1[0,0] is needed).
     D1 = np.diag(np.ones(n)) + np.diag(-np.ones(n - 1), -1)
-    D1[0, 0] = 0.0  # ghost-node fold: D1_B[1,1]=-1 column is dropped by QQ
     D1 = D1 / dz
-    # Reference detail: D1_B[1,1]=-1 touches the *ghost* column, which QQ
-    # zeroes, so the first interior row keeps only its +1/dz diagonal entry.
-    D1[0, 0] = 1.0 / dz
 
     # D2: standard second difference; ghost entries D2_B[1,1]=D2_B[end,end]=1
     # are likewise zeroed by QQ, leaving homogeneous Dirichlet ghosts

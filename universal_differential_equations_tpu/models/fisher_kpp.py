@@ -66,6 +66,10 @@ def generate_data(rtol=1e-8, atol=1e-10, dtype=jnp.float32):
         ODEProblem(true_rhs, rho0(dtype), (0.0, T_END)), Tsit5(), saveat=ts,
         rtol=rtol, atol=atol, adjoint=NoAdjoint(), step_to_saveat=True,
     )
+    # truth-solve discipline (CLAUDE.md): at unreachable tolerances the
+    # stepper exhausts max_steps and the clamped tail would silently
+    # poison the training data
+    assert bool(sol.success), "Fisher-KPP truth solve failed (tolerances?)"
     return ts, sol.ys
 
 

@@ -12,8 +12,8 @@ one result writes back.  At reference scale (N=26) XLA's own fusion is
 already optimal; the kernel is for production grids (N ≳ 10³) where it keeps
 the (N, hidden) activations out of HBM entirely.
 
-Shapes: N must be a multiple of 128 (lane width); the state is viewed as
-(8, N/8) sublane×lane tiles.  Weights for a pointwise MLP 1→h1→…→1 are
+Shapes: N must be a multiple of 1024 (8 sublanes × 128 lanes: the state is
+viewed as (8, N/8) tiles).  Weights for a pointwise MLP 1→h1→…→1 are
 passed as (h_in, h_out) matrices.
 """
 from __future__ import annotations
@@ -98,11 +98,15 @@ def fused_updet_rhs(u, taps, d0, mlp_params, interpret=False):
     ``taps``: (3,); ``d0``: scalar; ``mlp_params``: list of (w, b)."""
     N = u.shape[0]
     assert N % 1024 == 0, "N must be a multiple of 1024 (8 sublanes × 128 lanes)"
-    # single-block kernel: all hidden channels stay VMEM-resident
-    # (max_width × N × 4B ≤ ~12MB); larger grids need a halo-exchange grid —
+    # single-block kernel: all hidden channels stay VMEM-resident.  During
+    # layer k the live set is u plus the layer's input AND output channel
+    # tiles, so the bound is max over layers of (1 + w_in + w_out) tiles of
+    # N×4B within the ~12MB budget; larger grids need a halo-exchange grid —
     # XLA's fusion handles those sizes well already
-    max_width = max(w.shape[1] for w, _ in mlp_params)
-    assert max_width * N * 4 <= 12 * 2**20, "N too large for the single-block kernel"
+    live_tiles = 1 + max(w.shape[0] + w.shape[1] for w, _ in mlp_params)
+    assert live_tiles * N * 4 <= 12 * 2**20, (
+        "N too large for the single-block kernel"
+    )
     n_layers = len(mlp_params)
     u2 = u.reshape(8, N // 8)
     flat_params = []

@@ -83,6 +83,20 @@ def _ctx():
     return plt.rc_context(_RC)
 
 
+def _styled(fn):
+    """Run the whole helper inside the rc_context: legends, titles and
+    labels are created after ``new_figure`` returns, so styling only the
+    figure-creation call would leave them on default rcParams."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _ctx():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def style_axes(ax):
     """Recessive grid, no top/right spines."""
     ax.grid(True, color=_GRID, linewidth=0.6, zorder=0)
@@ -107,14 +121,19 @@ def save(fig, path):
     os.makedirs(path.parent, exist_ok=True)
     # Strip run-dependent PDF/SVG metadata so re-running an example with
     # unchanged science output leaves the tracked figure byte-identical.
+    # (The SVG backend's timestamp key is "Date"; passing "CreationDate"
+    # there raises ValueError.)
     metadata = None
-    if path.suffix.lower() in (".pdf", ".svg"):
+    if path.suffix.lower() == ".pdf":
         metadata = {"CreationDate": None}
+    elif path.suffix.lower() == ".svg":
+        metadata = {"Date": None}
     fig.savefig(path, bbox_inches="tight", metadata=metadata)
     plt.close(fig)
     return path
 
 
+@_styled
 def plot_timeseries(ts, ys, labels=None, data_ts=None, data=None,
                     data_label="measurements", title=None, xlabel="t",
                     ylabel=None, ax=None, train_end=None):
@@ -156,6 +175,7 @@ def plot_timeseries(ts, ys, labels=None, data_ts=None, data=None,
     return fig
 
 
+@_styled
 def plot_loss_history(losses, stages=None, title="training loss", ax=None):
     """Log-scale loss trajectory; ``stages`` = [(name, n_steps), …] shades
     the optimizer stages (the reference's ADAM→BFGS chaining)."""
@@ -183,6 +203,7 @@ def plot_loss_history(losses, stages=None, title="training loss", ax=None):
     return fig
 
 
+@_styled
 def plot_field(field, extent, title=None, xlabel="t", ylabel="x",
                cbar_label=None, diverging=False, ax=None):
     """Space-time heatmap u(x, t) for the PDE cases (`Fisher-KPP-CNN.jl`
@@ -211,6 +232,7 @@ def plot_field(field, extent, title=None, xlabel="t", ylabel="x",
     return fig
 
 
+@_styled
 def plot_function_comparison(x, learned, true_vals, labels=("learned", "true"),
                              title=None, xlabel="u", ylabel=None, ax=None):
     """Learned missing term vs ground-truth term (the reference's
@@ -333,6 +355,7 @@ def animate_profiles(path, coord, truth, pred=None, ts=None, fps=12,
     return path
 
 
+@_styled
 def plot_success_rates(noise_levels, rates, counts=None,
                        title="exact structural recovery rate", ax=None):
     """Per-noise-level success-rate bars (`loop_evaluation.jl:120-126`,
