@@ -18,8 +18,11 @@ Rows (reference evidence in parentheses):
    (run_loops.jl 500 sequential runs; no single-run time committed — the
    vs_baseline column for this row is throughput vs. one-recovery-per-20s,
    a conservative reading of the reference's loop on its hardware)
+6. Rayleigh-Taylor 3-D data-generation step time at the reference's
+   128×2×128 grid (rayleigh_taylor_instability_3d.jl progress lines:
+   7-10 ms/step)
 
-Usage: python benchmarks/run_all.py [--rows 1,2,3,4,5] [--quick]
+Usage: python benchmarks/run_all.py [--rows 1,2,3,4,5,6] [--quick]
 """
 import argparse
 import importlib.util
@@ -75,11 +78,13 @@ def row_climate_adjoint(quick):
     data = truth.ys
     rhs, params0, _ = cn.make_neural_rhs(jax.random.PRNGKey(0), n=30)
 
+    # same program as benchmarks/climate_adjoint_bench.py (sum loss,
+    # max_steps=2048) so the two reporters of this baseline row cannot drift
     def loss(p):
         sol = ude.solve(ude.ODEProblem(rhs, u0, (0.0, 1.5), (p, D1, D2)), ude.Tsit5(),
                         saveat=ts, rtol=1e-4, atol=1e-6,
-                        adjoint=ude.InterpolatingAdjoint(), max_steps=512)
-        return jnp.mean((sol.ys - data) ** 2)
+                        adjoint=ude.InterpolatingAdjoint(), max_steps=2048)
+        return jnp.sum((sol.ys - data) ** 2)
 
     vg = jax.jit(jax.value_and_grad(loss))
     jax.block_until_ready(vg(params0)[0])  # compile
@@ -108,8 +113,11 @@ def row_hjb(quick):
     alg = NNPDENS(u0_net=MLP([d, hls, hls, 1], activation="relu"),
                   grad_net=MLP([d + 1, hls, hls, hls, d], activation="relu"))
     t0 = time.time()
+    # n_steps mirrors examples/highdim_pde/hjb_100d.py (20 quick / 50 full)
+    # so this row and the example report the same program
     res = solve_terminal_pde(prob, alg, jax.random.PRNGKey(0), trajectories=100,
-                             n_steps=20, maxiters=1400 if quick else 2500,
+                             n_steps=20 if quick else 50,
+                             maxiters=1400 if quick else 2500,
                              learning_rate=0.03, pabstol=1e-2)
     wall = time.time() - t0
     analytical = float(mc_analytical_hjb(g, x0, 1.0, lam, jax.random.PRNGKey(7)))

@@ -351,7 +351,10 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         results.append(recover_stage(theta, data, loss, noise_mags[sl])
                        + (loss,))
         jax.block_until_ready(results[-1][0])
-        arch.save(gname, **dict(zip(chunk_keys, results[-1])))
+        if archive:
+            # archive=False callers (the benchmark harness) must not write
+            # resume checkpoints a later real study would silently pick up
+            arch.save(gname, **dict(zip(chunk_keys, results[-1])))
         print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
     exact, contains, fit_ok, c1, c2, fin_loss = [

@@ -237,6 +237,9 @@ def main(quick=False, plot=False):
                         for p, r in zip(pairs, rels)])
     short = [i for i in order if np.isfinite(rels[i])
              and len(pairs[i][0]) + len(pairs[i][2]) <= 6][:16]
+    if not short:
+        raise SystemExit("no candidate pair simulated the training window — "
+                         "train longer (run without --quick)")
 
     from universal_differential_equations_tpu.core.integrate import (
         integrate_fixed,
@@ -320,6 +323,8 @@ def main(quick=False, plot=False):
     ts_ex = jnp.linspace(0.0, 50.0, 501)
     sol_ex = ude.solve(prob_ex, ude.Tsit5(), saveat=ts_ex, rtol=1e-8,
                        atol=1e-8, adjoint=ude.NoAdjoint())
+    # a clamped tail would pass the finite/period checks untested
+    assert bool(sol_ex.success), "recovered-model t=50 solve must finish"
     prob_truth = ude.ODEProblem(lv.lotka_rhs, u0, (0.0, 50.0), lv.P_TRUE)
     # f32-achievable truth tolerance: at rtol 1e-10 the f32 stepper burns
     # its step budget by t≈5 and the clamped tail silently poisons every

@@ -251,6 +251,9 @@ def main(quick=False, plot=False):
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "
           f"rel err on E,I,R = {err:.3f}")
     if not quick:
+        # a clamped tail freezes the (small) late-time states and could
+        # sneak under the peak-normalized error bound untested
+        assert bool(rec.success), "recovered-model day-60 solve must finish"
         assert err < 0.15, f"recovered model must extrapolate (rel err {err:.2f})"
 
     if plot:

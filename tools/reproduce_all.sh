@@ -3,7 +3,7 @@
 # Each example asserts its scientific claim and writes its figures;
 # benchmarks print one JSON line each.  Total wall-clock: ~1.5 h warm
 # (first run compiles more; the persistent cache makes reruns fast).
-set -x
+set -ex   # -e: a failing test run or benchmark must abort, not report success
 cd "$(dirname "$0")/.."
 
 python -m pytest tests/ -q                                   # CPU, ~10 min

@@ -30,6 +30,7 @@ class FitResult:
     losses: jnp.ndarray  # (num_steps,)
     num_steps: int
     stopped_early: bool = False
+    opt_state: Any = None  # final optimizer state (resume / cross-stage LR)
 
     @property
     def final_loss(self):
@@ -50,14 +51,20 @@ def fit(
     callback: Optional[Callable] = None,
     callback_every: int = 50,
     early_stop_loss: Optional[float] = None,
+    opt_state=None,
 ) -> FitResult:
     """Minimize ``loss_fn(params)`` with an optax optimizer.
 
     ``callback(step, loss, params) -> bool`` is invoked on the host every
     ``callback_every`` steps; returning True stops training (the reference's
     callback protocol, ``scenario_1.jl:97-105``).
+
+    ``opt_state``: pass a previous ``FitResult.opt_state`` to continue an
+    optimizer across ``fit`` calls (e.g. epoch loops with an LR schedule via
+    ``optax.inject_hyperparams``) instead of re-initializing ADAM moments.
     """
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
 
     def step(carry, _):
         params, opt_state = carry
@@ -98,6 +105,7 @@ def fit(
         params=params,
         losses=jnp.concatenate(all_losses) if all_losses else jnp.zeros((0,)),
         num_steps=steps_done,
+        opt_state=opt_state,
         stopped_early=stopped,
     )
 
