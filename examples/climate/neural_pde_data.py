@@ -89,16 +89,29 @@ def main():
 
     l0 = float(jax.jit(loss_fn)(params0))
     t0 = time.time()
+    # track the best loss/params seen at callback boundaries: plain ADAM's
+    # LAST step can be a noisy jump (measured 20.5 -> 46.9 on the final
+    # chunk), and both the quality gate and the rollout should reflect what
+    # training achieved, not where the last step happened to land —
+    # npde_data.jl's implicit convention of taking the trained model
+    best = {"loss": float("inf"), "params": params0}
+
+    def track(step, l, p):
+        if l < best["loss"]:
+            best["loss"], best["params"] = l, p
+        print(f"  step {step:4d}  loss {l:.4e}")
+        return False
+
     res = ude.fit(loss_fn, params0, optax.adam(0.01),
                   30 if args.quick else 300, callback_every=30,
-                  callback=lambda s, l, p: print(f"  step {s:4d}  "
-                                                 f"loss {l:.4e}") or False)
+                  callback=track)
     wall = time.time() - t0
-    print(f"ADAM(0.01): loss {l0:.4e} -> {res.final_loss:.4e} in {wall:.1f}s")
+    print(f"ADAM(0.01): loss {l0:.4e} -> best {best['loss']:.4e} "
+          f"(final {res.final_loss:.4e}) in {wall:.1f}s")
 
     # rollout with the stabilized solver + eigen_est, reference's ROCK4 hook
     rkc = ude.ROCK4.for_problem(eig * 1.1, tspan, n_steps_hint=60)
-    sol = ude.solve(ude.ODEProblem(rhs, u0, tspan, res.params), rkc,
+    sol = ude.solve(ude.ODEProblem(rhs, u0, tspan, best["params"]), rkc,
                     saveat=ts, rtol=1e-3, atol=1e-4,
                     adjoint=ude.NoAdjoint(), max_steps=8192)
     rel = float(jnp.linalg.norm(sol.ys - data) / jnp.linalg.norm(data))
@@ -106,7 +119,7 @@ def main():
           f"rel-L2 vs data = {rel:.4f}")
 
     if not args.quick:
-        assert res.final_loss < 0.2 * l0, "training did not reduce loss 5x"
+        assert best["loss"] < 0.2 * l0, "training did not reduce loss 5x"
         assert bool(sol.success) and rel < 0.6
 
     if args.plot:
