@@ -117,3 +117,23 @@ def test_bfgs_failed_line_search_not_converged_by_ftol():
     res = bfgs_minimize(lambda p: jnp.sum((p - 2.0) ** 2), jnp.zeros(3),
                         maxiters=100, ftol=1e-12)
     assert float(res.value) < 1e-8
+
+
+def test_fit_opt_state_continuation():
+    # fit(..., opt_state=...) continues the SAME optimizer (ADAM moments
+    # preserved): two chained 50-step fits must land where one 100-step fit
+    # does, and differ from two fresh-initialized 50-step fits.
+    def loss(p):
+        return jnp.sum((p - 3.0) ** 2) + 0.1 * jnp.sum(p**2)
+
+    p0 = jnp.zeros(4)
+    opt = optax.adam(0.05)
+
+    r_one = fit(loss, p0, opt, 100)
+    r_a = fit(loss, p0, opt, 50)
+    r_b = fit(loss, r_a.params, opt, 50, opt_state=r_a.opt_state)
+    np.testing.assert_allclose(np.asarray(r_b.params), np.asarray(r_one.params),
+                               rtol=1e-6, atol=1e-7)
+    r_fresh = fit(loss, r_a.params, opt, 50)  # moments reset
+    assert not np.allclose(np.asarray(r_fresh.params), np.asarray(r_one.params),
+                           rtol=1e-6, atol=1e-7)
