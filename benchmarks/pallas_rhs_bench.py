@@ -72,7 +72,9 @@ def _f64_reference(u, taps, d0, mlp):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="1024,8192,65536")
+    # 262144 and 1048576 exceed the single-block VMEM budget and route
+    # through the gridded halo-exchange kernel (fused_updet_rhs dispatches)
+    ap.add_argument("--sizes", default="1024,8192,65536,262144,1048576")
     args = ap.parse_args()
     enable_compilation_cache()
 

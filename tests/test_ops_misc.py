@@ -8,6 +8,7 @@ from universal_differential_equations_tpu.models.neural_ode import NeuralODE, ne
 from universal_differential_equations_tpu.nn import MLP
 from universal_differential_equations_tpu.ops import (
     fused_updet_rhs,
+    fused_updet_rhs_gridded,
     make_pointwise_mlp_params,
     updet_rhs_xla,
 )
@@ -35,6 +36,49 @@ def test_pallas_kernel_periodic_wrap():
     out = fused_updet_rhs(u, taps, jnp.float32(1.0), mlp, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.roll(np.asarray(u), 1),
                                rtol=1e-6)
+
+
+def test_pallas_gridded_matches_xla_interpret():
+    # halo-exchange grid (4 blocks of 1024): must agree with the XLA
+    # reference, including the block-boundary and global-periodic neighbors
+    key = jax.random.PRNGKey(2)
+    u = jax.random.uniform(key, (4096,), jnp.float32)
+    taps = jnp.array([6.25, -12.5, 6.25], jnp.float32)
+    mlp = make_pointwise_mlp_params(key, (1, 10, 20, 10, 1))
+    ref = updet_rhs_xla(u, taps, jnp.float32(1.0), mlp)
+    out = fused_updet_rhs_gridded(u, taps, jnp.float32(1.0), mlp,
+                                  block_size=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_gridded_block_boundary_neighbors():
+    # pure neighbor picks across 2 blocks: left pick must read the previous
+    # block's last element at each block start (and wrap globally at 0)
+    key = jax.random.PRNGKey(3)
+    u = jax.random.uniform(key, (2048,), jnp.float32)
+    mlp = [(jnp.zeros((1, 1), jnp.float32), jnp.zeros((1,), jnp.float32))]
+    for taps, expect in ((jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                          np.roll(np.asarray(u), 1)),
+                         (jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                          np.roll(np.asarray(u), -1))):
+        out = fused_updet_rhs_gridded(u, taps, jnp.float32(1.0), mlp,
+                                      block_size=1024, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+
+def test_pallas_dispatch_beyond_single_block_budget():
+    # a state too large for the single-block kernel must route to the grid
+    # (the old assert capped N; now any 1024-multiple works)
+    key = jax.random.PRNGKey(4)
+    n = 1024 * 128  # 131072 points: 31 live tiles * N * 4B >> 12 MB
+    u = jax.random.uniform(key, (n,), jnp.float32)
+    taps = jnp.array([1.0, -2.0, 1.0], jnp.float32)
+    mlp = make_pointwise_mlp_params(key, (1, 10, 20, 10, 1))
+    ref = updet_rhs_xla(u, taps, jnp.float32(0.5), mlp)
+    out = fused_updet_rhs(u, taps, jnp.float32(0.5), mlp, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_neural_ode_wrapper():
