@@ -98,6 +98,39 @@ def test_continuous_adjoint_matches_discrete_tightly():
                                rtol=1e-4, atol=1e-7)
 
 
+def test_quadrature_subpanels_fix_coarse_saveat():
+    # With a single save point the whole horizon is ONE quadrature segment
+    # spanning dozens of solver steps; the integrand λᵀ∂f/∂p is only
+    # piecewise smooth there, so a single GL panel is inaccurate and
+    # ``quad_subpanels`` must restore the gradient (ADVICE r1 #1).
+    ts = jnp.array([0.0, 3.0])
+
+    def rhs(t, y, args):
+        x, z = y[0], y[1]
+        a, b, g, d = args["p"]
+        return jnp.array([a * x - b * x * z, g * x * z - d * z])
+
+    def loss(adjoint):
+        def fn(params):
+            prob = ude.ODEProblem(rhs, U0, (0.0, 3.0), args=params)
+            sol = ude.solve(prob, ude.Tsit5(), saveat=ts, rtol=1e-8,
+                            atol=1e-10, adjoint=adjoint)
+            return jnp.sum((sol.ys[-1] - jnp.array([1.0, 0.5])) ** 2)
+        return fn
+
+    g_ref = jax.grad(loss(ude.DiscreteAdjoint()))(P0)["p"]
+    g_1 = jax.grad(loss(ude.QuadratureAdjoint(quad_order=4)))(P0)["p"]
+    g_16 = jax.grad(
+        loss(ude.QuadratureAdjoint(quad_order=4, quad_subpanels=16))
+    )(P0)["p"]
+    err_1 = float(jnp.max(jnp.abs(g_1 - g_ref) / (jnp.abs(g_ref) + 1e-12)))
+    err_16 = float(jnp.max(jnp.abs(g_16 - g_ref) / (jnp.abs(g_ref) + 1e-12)))
+    assert err_16 < 1e-4, f"sub-paneled quadrature gradient off: {err_16:.2e}"
+    assert err_16 < err_1 / 10 or err_1 < 1e-6, (
+        f"sub-paneling did not improve the coarse-saveat gradient: "
+        f"{err_1:.2e} -> {err_16:.2e}")
+
+
 def test_seminorm_gradients_match():
     # adjoint seminorm (arXiv:2009.09457): dropping the parameter-quadrature
     # rows from the backward error test must not change gradients beyond

@@ -191,10 +191,20 @@ class QuadratureAdjoint(_ContinuousAdjoint):
     are nearly free — but gradients match the discrete adjoint to ~1e-9
     and the λ-only backward is the memory-light choice for very large
     parameter pytrees.  ``seminorm`` is moot here (no quadrature rows).
+
+    Accuracy caveat: the integrand λᵀ∂f/∂p is only *piecewise* smooth —
+    its interpolants have knots at the forward and backward solver steps —
+    so a single ``quad_order``-point panel per saveat segment loses
+    accuracy when one segment spans many solver steps (coarse ``saveat``).
+    ``quad_subpanels`` splits every segment into that many equal Gauss–
+    Legendre panels (cost: ``quad_subpanels × quad_order`` VJP nodes per
+    segment); raise it until the gradient stops moving, or keep saveat
+    segments comparable to solver step sizes.
     """
 
     kind = "quadrature"
     quad_order: int = 12
+    quad_subpanels: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -266,10 +276,15 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
             _, vjp_fn = jax.vjp(lambda yy: f(t, yy, args), u)
             return -vjp_fn(lam)[0]
 
+        n_sub = max(int(getattr(cfg, "quad_subpanels", 1)), 1)
+
         def seg_mu(lam_dense, t_lo, t_hi):
-            # ∫_{t_lo}^{t_hi} λᵀ ∂f/∂p dt (forward orientation)
-            half = 0.5 * (t_hi - t_lo)
-            tk = 0.5 * (t_hi + t_lo) + half * gl_x
+            # ∫_{t_lo}^{t_hi} λᵀ ∂f/∂p dt (forward orientation), split into
+            # ``quad_subpanels`` equal GL panels — the integrand is only
+            # piecewise smooth (knots at solver steps), so sub-paneling
+            # controls the error when saveat segments span many steps
+            frac = jnp.arange(n_sub + 1, dtype=gl_x.dtype) / n_sub
+            edges = t_lo + (t_hi - t_lo) * frac
 
             def node(tq):
                 u = dense.evaluate(tq)
@@ -277,7 +292,12 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
                 _, vjp_fn = jax.vjp(lambda aa: f(tq, u, aa), args)
                 return ravel_pytree(vjp_fn(lam)[0])[0]
 
-            return half * (gl_w @ jax.vmap(node)(tk))
+            def panel(lo, hi):
+                half = 0.5 * (hi - lo)
+                tk = 0.5 * (hi + lo) + half * gl_x
+                return half * (gl_w @ jax.vmap(node)(tk))
+
+            return jax.vmap(panel)(edges[:-1], edges[1:]).sum(axis=0)
 
         def q_segment(carry, i):
             z, t_hi, mu = carry
