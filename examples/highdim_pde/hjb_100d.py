@@ -30,7 +30,7 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(quick=False, plot=False):
+def main(quick=False, plot=False, adaptive=False):
     d = 100
     lam = 1.0
     x0 = jnp.zeros(d, jnp.float32)
@@ -54,8 +54,15 @@ def main(quick=False, plot=False):
         n_steps=20 if quick else 50,
         maxiters=1400 if quick else 2500,  # 600 stalls at u0~2.3; 1400 → rel 0.003
         learning_rate=0.03, pabstol=1e-2, verbose=True,
+        # --adaptive: the reference's ``alg=LambaEM(), abstol, reltol`` mode
+        # (lambaem.jl:33-34) — an AdaptiveEM pilot picks the grid and
+        # pinned-grid refinement stops when u(0,x0) stops moving
+        adaptive=adaptive, sde_abstol=2e-2, sde_reltol=2e-2,
+        max_refinements=1 if quick else 2,
     )
     wall = time.time() - t0
+    if adaptive:
+        print(f"adaptive grid: final n_steps = {res.n_steps}")
 
     analytical = float(mc_analytical_hjb(g, x0, 1.0, lam, jax.random.PRNGKey(7)))
     u0 = float(res.u0)
@@ -91,5 +98,8 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--plot", action="store_true",
                     help="write the training-loss figure analogue")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="error-controlled time grid (the LambaEM role): "
+                         "AdaptiveEM pilot + pinned-grid refinement")
     _a = ap.parse_args()
-    main(quick=_a.quick, plot=_a.plot)
+    main(quick=_a.quick, plot=_a.plot, adaptive=_a.adaptive)

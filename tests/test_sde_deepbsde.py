@@ -131,6 +131,39 @@ def test_deep_bsde_hjb_small():
     assert rel < 0.2, f"rel {rel}, u0 {float(res.u0)} vs {analytical}"
 
 
+def test_deep_bsde_adaptive_matches_fixed_grid():
+    # adaptive=True (the reference's ``alg=LambaEM(), abstol, reltol`` role,
+    # lambaem.jl:33-34): an AdaptiveEM pilot picks the grid and pinned-grid
+    # refinement stops when u(0,x0) stops moving — the answer must agree
+    # with the fixed-grid solve and the analytic MC value
+    d, lam = 3, 1.0
+    x0 = jnp.zeros(d, jnp.float32)
+    g = lambda x: jnp.log(0.5 + 0.5 * jnp.sum(x * x))
+    prob = TerminalPDEProblem(
+        g=g, f=lambda t, x, u, z: -lam * jnp.sum(z * z),
+        mu=lambda t, x: jnp.zeros_like(x), sigma=lambda t, x: jnp.sqrt(2.0),
+        x0=x0, tspan=(0.0, 1.0),
+    )
+    hls = 12
+    alg = NNPDENS(u0_net=MLP([d, hls, 1], activation="relu"),
+                  grad_net=MLP([d + 1, hls, d], activation="relu"))
+    kw = dict(trajectories=64, maxiters=400, learning_rate=0.03,
+              pabstol=5e-3)
+    res_fix = solve_terminal_pde(prob, alg, jax.random.PRNGKey(0),
+                                 n_steps=20, **kw)
+    res_ada = solve_terminal_pde(prob, alg, jax.random.PRNGKey(0),
+                                 adaptive=True, sde_abstol=5e-2,
+                                 sde_reltol=5e-2, **kw)
+    assert res_ada.n_steps >= 8  # pilot-chosen grid recorded
+    analytical = float(mc_analytical_hjb(g, x0, 1.0, lam,
+                                         jax.random.PRNGKey(7),
+                                         n_samples=10**4, batch=10**4))
+    rel_ada = abs(float(res_ada.u0) - analytical) / abs(analytical)
+    assert rel_ada < 0.2, f"adaptive rel {rel_ada}"
+    assert abs(float(res_ada.u0) - float(res_fix.u0)) < 0.15, (
+        float(res_ada.u0), float(res_fix.u0))
+
+
 def test_deep_bsde_sharded_matches_unsharded():
     # trajectory batch sharded over the 8-device virtual mesh (SURVEY §2.4:
     # trajectory batching is THE distributed axis); same key → placement must
