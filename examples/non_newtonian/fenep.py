@@ -69,11 +69,29 @@ def make_loss(f1, f0, ts, sigmas):
     return loss, predict_sigma
 
 
+def crosscheck_implicit_solvers(ts10, sigma_test):
+    """Cross-validate the BDF DAE truth with the ESDIRK shelf: the index-1
+    reduction of FENE-P (``models.fenep.fenep_stiff_rhs``) solved with
+    Kvaerno3 and SDIRK4 must reproduce the IDA-role τ12 (``FENEP.jl:35-39``).
+    """
+    scale = float(jnp.max(jnp.abs(sigma_test)))
+    for name, solver in (("Kvaerno3", ude.Kvaerno3()),
+                         ("SDIRK4", ude.SDIRK4()),
+                         ("Rosenbrock23", ude.Rosenbrock23())):
+        s_ode, ok = fenep.find_sigma_exact_ode(
+            ts10, lambda t: 12.0 * jnp.cos(1.5 * t), solver)
+        assert bool(ok), f"{name} stiff-ODE solve failed"
+        rel = float(jnp.max(jnp.abs(s_ode - sigma_test))) / scale
+        print(f"  {name} stiff-ODE vs BDF DAE: max rel dev {rel:.2e}")
+        assert rel < 1e-3, f"{name} disagrees with the DAE truth: {rel:.2e}"
+
+
 def main(quick=False, plot=False):
     t0 = time.time()
     ts, sigmas, ts10, sigma_test = build_data()
     print(f"DAE data generation: {time.time()-t0:.1f}s "
           f"({len(OMEGAS)} train modes + 1 test)")
+    crosscheck_implicit_solvers(ts10, sigma_test)
 
     results, preds = {}, {}
     for tag, linear in [("neural", False), ("linear", True)]:

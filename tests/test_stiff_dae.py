@@ -285,6 +285,26 @@ def test_fenep_truth_against_ida_role():
     assert abs(slope - 24.0) / 24.0 < 0.05
 
 
+def test_fenep_stiff_ode_crosschecks_dae():
+    # the index-1 reduction (models.fenep.fenep_stiff_rhs) solved with the
+    # ESDIRK shelf must reproduce the BDF DAE's tau12 — the end-to-end
+    # consumer path for Kvaerno3/SDIRK4 (examples/non_newtonian/fenep.py
+    # runs the same cross-check on a longer window)
+    from universal_differential_equations_tpu.models import fenep
+
+    ts = jnp.linspace(0.0, 4.0, 30)
+    gd = lambda t: 12.0 * jnp.cos(1.5 * t)
+    s_dae, ok = fenep.find_sigma_exact(ts, gd, x64_host=False)
+    assert bool(ok)
+    scale = float(jnp.max(jnp.abs(s_dae)))
+    for solver in (ude.Kvaerno3(), ude.SDIRK4()):
+        s_ode, ok2 = fenep.find_sigma_exact_ode(ts, gd, solver,
+                                                x64_host=False)
+        assert bool(ok2)
+        rel = float(jnp.max(jnp.abs(s_ode - s_dae))) / scale
+        assert rel < 1e-4, f"{type(solver).__name__}: {rel:.2e}"
+
+
 @pytest.mark.parametrize("solver_name", ["Kvaerno3", "SDIRK4"])
 def test_esdirk_vmaps_over_ensemble(solver_name):
     # the DIRK Newton/LU machinery must batch over the ensemble axis (C24)

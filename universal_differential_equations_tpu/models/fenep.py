@@ -21,7 +21,8 @@ from ..core.problem import DAEProblem
 from ..nn.layers import MLP
 from ..solvers.bdf import daeint
 
-__all__ = ["fenep_residual", "find_sigma_exact", "make_surrogate", "P_FENEP"]
+__all__ = ["fenep_residual", "fenep_stiff_rhs", "find_sigma_exact",
+           "find_sigma_exact_ode", "make_surrogate", "P_FENEP"]
 
 P_FENEP = (2.0, 4.0, 2.0)  # λ, η, L (FENEP.jl:27-29)
 
@@ -73,6 +74,74 @@ def find_sigma_exact(tsave, gamma_d, p=P_FENEP, rtol=1e-7, atol=1e-9,
         sol = daeint(prob, saveat=jnp.asarray(tsave, jnp.zeros(()).dtype),
                      rtol=rtol, atol=atol, max_steps=max_steps)
         return sol.ys[:, 5], sol.success  # τ12 column
+
+    session_dtype = jnp.zeros(()).dtype
+    if x64_host and session_dtype == jnp.float32:
+        with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+            ys, ok = _solve()
+            ys, ok = np.asarray(ys), bool(ok)
+        return jnp.asarray(ys, session_dtype), ok
+    return _solve()
+
+
+def fenep_stiff_rhs(gamma_d: Callable, p=P_FENEP):
+    """Explicit stiff-ODE form of the FENE-P model in the conformation
+    variables θ = (θ11, θ22, θ12).
+
+    The algebraic half of the DAE (``FENEP.jl:9-22``) is index-1 —
+    ``θij = λ·τij/f(τ)`` with ``f`` depending only on ``τ11+τ22`` — so it
+    inverts in closed form: ``f(θ) = L² / ((L²−3) − (θ11+θ22)/(η·a))`` and
+    ``τij = θij·f/λ``.  The three differential equations then close as an
+    explicit stiff ODE, the consumer path for the ESDIRK solvers
+    (Kvaerno3/SDIRK4): solving it must reproduce the BDF DAE's τ12.
+
+    Returns ``(rhs, tau_of_theta)``: the ODE rhs over θ and the readout
+    mapping θ → (τ11, τ22, τ12).
+    """
+    lam, eta, L = p
+    a = L**2 / (L**2 - 3.0)
+
+    def f_of_theta(theta):
+        return L**2 / ((L**2 - 3.0) - (theta[0] + theta[1]) / (eta * a))
+
+    def tau_of_theta(theta):
+        return theta * f_of_theta(theta) / lam
+
+    def rhs(t, theta, args):
+        f = f_of_theta(theta)
+        t11, t22, t12 = theta * f / lam
+        gd = gamma_d(t)
+        return jnp.array([
+            -t11 + 2.0 * lam * gd * t12 / f,
+            -t22,
+            -t12 + lam * gd * t22 / f + eta * gd / f,
+        ])
+
+    return rhs, tau_of_theta
+
+
+def find_sigma_exact_ode(tsave, gamma_d, solver, p=P_FENEP, rtol=1e-7,
+                         atol=1e-9, max_steps=16384, x64_host: bool = True):
+    """Exact τ12(t) via the index-1-reduced stiff ODE and an implicit solver
+    (Kvaerno3/SDIRK4/Rosenbrock23) — the cross-validation path for the BDF
+    DAE truth of :func:`find_sigma_exact` (``FENEP.jl:35-39`` role)."""
+    import numpy as np
+
+    from ..adjoint.sensitivity import NoAdjoint
+    from ..api import solve
+    from ..core.problem import ODEProblem
+
+    def _solve():
+        rhs, tau_of_theta = fenep_stiff_rhs(gamma_d, p)
+        theta0 = jnp.zeros(3)
+        prob = ODEProblem(rhs, theta0,
+                          (float(tsave[0]), float(tsave[-1])), None)
+        sol = solve(prob, solver,
+                    saveat=jnp.asarray(tsave, jnp.zeros(()).dtype),
+                    rtol=rtol, atol=atol, adjoint=NoAdjoint(),
+                    max_steps=max_steps)
+        tau12 = jax.vmap(tau_of_theta)(sol.ys)[:, 2]
+        return tau12, sol.success
 
     session_dtype = jnp.zeros(()).dtype
     if x64_host and session_dtype == jnp.float32:
