@@ -27,9 +27,24 @@ __all__ = [
     "U0",
 ]
 
-# reference parameters and initial condition (``scenario_1.jl:37-39``)
-P_TRUE = jnp.array([1.3, 0.9, 0.8, 1.8])
-U0 = jnp.array([0.44249296, 4.6280594])
+# reference parameters and initial condition (``scenario_1.jl:37-39``).
+# Created lazily (PEP 562) and cached: importing the package must not
+# initialize the XLA backend, or multi-host jobs could never call
+# jax.distributed.initialize() after `import universal_differential_equations_tpu`.
+_LAZY_CONSTS = {
+    "P_TRUE": (1.3, 0.9, 0.8, 1.8),
+    "U0": (0.44249296, 4.6280594),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY_CONSTS:
+        val = globals().get(name)
+        if val is None:
+            val = jnp.array(_LAZY_CONSTS[name])
+            globals()[name] = val  # cache: later accesses skip __getattr__
+        return val
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def lotka_rhs(t, u, p):
@@ -44,14 +59,16 @@ def generate_data(
     tspan: Tuple[float, float] = (0.0, 3.0),
     dt_save: float = 0.1,
     noise_magnitude: float = 5e-3,
-    u0=U0,
-    p=P_TRUE,
+    u0=None,
+    p=None,
     rtol: float = 1e-12,
     atol: float = 1e-12,
 ):
     """Truth at Vern7/1e-12 on a 0.1-grid over the reference's (0, 3)
     training window plus mean-proportional noise (``scenario_1.jl:36-53``).
     Returns (ts, X_clean, X_noisy)."""
+    u0 = __getattr__("U0") if u0 is None else u0
+    p = __getattr__("P_TRUE") if p is None else p
     fdtype = jnp.result_type(float)  # honors jax_enable_x64 at call time
     ts = jnp.arange(tspan[0], tspan[1] + dt_save / 2, dt_save, dtype=fdtype)
     prob = ODEProblem(lotka_rhs, jnp.asarray(u0, fdtype), tspan,
@@ -68,13 +85,14 @@ def generate_data(
 
 
 def make_ude(key, hidden: int = 5, depth: int = 3, activation="rbf",
-             p_known=P_TRUE, dtype=None):
+             p_known=None, dtype=None):
     """Scenario-1 hybrid model: known linear physics + MLP interactions.
 
     ``du1 = α u1 + NN1(u)``, ``du2 = -δ u2 + NN2(u)`` with the 2→5→5→5→2
     Gaussian-RBF net (``scenario_1.jl:59-73``).  Returns ``(rhs, params0, net)``
     with ``params`` the bare NN pytree.
     """
+    p_known = __getattr__("P_TRUE") if p_known is None else p_known
     sizes = [2] + [hidden] * depth + [2]
     net = MLP(sizes, activation=activation)
     if dtype is None:
@@ -90,10 +108,11 @@ def make_ude(key, hidden: int = 5, depth: int = 3, activation="rbf",
     return rhs, params0, net
 
 
-def make_recovered_rhs(sindy_result, p_known=P_TRUE):
+def make_recovered_rhs(sindy_result, p_known=None):
     """Hybrid RHS with the SINDy-recovered interactions in place of the NN
     (``scenario_1.jl:183-191``): parameters are the active SINDy coefficients,
     refittable by gradient descent (C21)."""
+    p_known = __getattr__("P_TRUE") if p_known is None else p_known
     interaction = sindy_result.rhs()
     alpha = float(p_known[0])
     delta = float(p_known[3])

@@ -21,17 +21,34 @@ from ..nn.layers import MLP
 __all__ = ["P_SEIR", "U0_NORM", "corona_rhs", "beta_t", "make_neural_ode",
            "make_exposure_ude", "true_exposure", "make_recovered_rhs"]
 
-# F, β0, α, κ, μ, σ, γ, d, λ (seir_exposure.jl:34)
-P_SEIR = jnp.array([10.0, 0.5944, 0.4239, 1117.3, 0.02, 1 / 3, 1 / 5, 0.2, 1 / 11.2])
 _S0 = 14e6
-# normalized by S0: u0 = [0.9·S0, 0, 0, 0, S0, 0, 0] / S0 — but F is an
-# absolute import-rate parameter, so it is rescaled too (F/S0) inside the RHS.
-U0_NORM = jnp.array([0.9, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+# Lazily-created device constants (PEP 562; see lotka_volterra.py — package
+# import must not initialize the XLA backend, for jax.distributed):
+#   P_SEIR: F, β0, α, κ, μ, σ, γ, d, λ (seir_exposure.jl:34)
+#   U0_NORM: normalized by S0 — u0 = [0.9·S0, 0, 0, 0, S0, 0, 0] / S0; F is
+#   an absolute import-rate parameter, so it is rescaled too (F/S0) inside
+#   the RHS.
+_LAZY_CONSTS = {
+    "P_SEIR": (10.0, 0.5944, 0.4239, 1117.3, 0.02, 1 / 3, 1 / 5, 0.2,
+               1 / 11.2),
+    "U0_NORM": (0.9, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0),
+}
 
 
-def beta_t(t, D, N, p=P_SEIR):
+def __getattr__(name):
+    if name in _LAZY_CONSTS:
+        val = globals().get(name)
+        if val is None:
+            val = jnp.array(_LAZY_CONSTS[name])
+            globals()[name] = val
+        return val
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def beta_t(t, D, N, p=None):
     """Quarantine-responsive transmission β = β0(1−α)(1−D/N)^κ
     (``seir_exposure.jl:30``)."""
+    p = __getattr__("P_SEIR") if p is None else p
     beta0, alpha, kappa = p[1], p[2], p[3]
     return beta0 * (1.0 - alpha) * (1.0 - D / N) ** kappa
 
@@ -54,9 +71,10 @@ def corona_rhs(t, u, p):
     return jnp.stack([dS, dE, dI, dR, dN, dD, dC])
 
 
-def true_exposure(u, p=P_SEIR):
+def true_exposure(u, p=None):
     """The quarantine-driven part of the exposure the UDE must learn:
     z = β(t)·S·I/N (``seir_exposure.jl:210``)."""
+    p = __getattr__("P_SEIR") if p is None else p
     S, E, I, R, N, D, C = u
     return beta_t(0.0, D, N, p) * S * I / N
 
@@ -74,7 +92,8 @@ def make_neural_ode(key, width: int = 64, dtype=None, output_scale: float = 1e-5
         dtype = jnp.zeros(()).dtype
     net = MLP([7, width, width, width, 5], activation="tanh")
     params0 = net.init(key, dtype)
-    mu, sigma = float(P_SEIR[4]), float(P_SEIR[5])
+    _p = __getattr__("P_SEIR")
+    mu, sigma = float(_p[4]), float(_p[5])
 
     def rhs(t, u, params):
         S, E, I, R, N, D, C = u
@@ -92,7 +111,7 @@ def make_exposure_ude(key, width: int = 64, dtype=None):
         dtype = jnp.zeros(()).dtype
     net = MLP([3, width, width, 1], activation="tanh")
     params0 = net.init(key, dtype)
-    p_ = P_SEIR
+    p_ = __getattr__("P_SEIR")
     output_scale = 1e-5
 
     def rhs(t, u, params):
@@ -119,7 +138,7 @@ def make_recovered_rhs(sindy_result):
     """Swap the recovered symbolic exposure for the NN
     (``approx``, ``seir_exposure.jl:232-246``)."""
     rec = sindy_result.rhs()
-    p_ = P_SEIR
+    p_ = __getattr__("P_SEIR")
 
     def rhs(t, u, coeffs):
         S, E, I, R, N, D, C = u
