@@ -66,15 +66,24 @@ def probe_device(timeout_s=60.0):
 
     Runs in a child process so a wedged TPU worker (whose probes *hang*
     rather than error — see CLAUDE.md) can be killed instead of hanging the
-    benchmark.
+    benchmark.  On runtimes with exclusive device access the child can fail
+    simply because THIS process still holds the TPU client — that is a
+    healthy device answering "busy", not a hang, so busy-flavoured errors
+    count as recovered (the parent's next dispatch will be the real test).
     """
     code = "import jax; jax.jit(lambda x: x + 1)(1.0); print('ok')"
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
+                           capture_output=True, text=True)
     except subprocess.TimeoutExpired:
         return False
+    if r.returncode == 0:
+        return True
+    busy_markers = ("already in use", "in use by", "resource busy",
+                    "device or resource busy", "already been initialized",
+                    "unavailable: no tpu", "libtpu is already in use")
+    err = (r.stderr or "").lower()
+    return any(m in err for m in busy_markers)
 
 
 def main():

@@ -141,12 +141,17 @@ def main():
                 lr = new_lr
             print(f"epoch {epoch + 1:3d}  train_loss = {loss:.3e}")
         rel, roll = rollout_rel(params)
-        print(f"seed {seed}: best one-step {ckpt.best:.3e}, "
-              f"rollout rel-L2 {rel:.4f}")
+        # report/assert the FINAL params' actual one-step loss, not
+        # BestCheckpoint's best-seen (which may belong to different params
+        # than the ones we keep and save) — the committed checkpoint must
+        # achieve the loss the run records
+        one_step = float(loss_fn(params))
+        print(f"seed {seed}: final one-step {one_step:.3e} "
+              f"(best seen {ckpt.best:.3e}), rollout rel-L2 {rel:.4f}")
         if best is None or rel < best["rel"]:
             best = dict(params=params, rel=rel, roll=roll,
-                        loss=ckpt.best, seed=seed)
-        if rel < 0.20 and ckpt.best < 2e-4:
+                        loss=one_step, seed=seed)
+        if rel < 0.20 and one_step < 2e-4:
             break
     params, rel, roll = best["params"], best["rel"], best["roll"]
     # the tracked checkpoint is the SELECTED model (BestCheckpoint wrote

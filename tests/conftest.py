@@ -17,3 +17,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite is compile-dominated (measured
+# 35 s -> 13 s on the heaviest adjoint test alone with a warm cache).  The
+# default cache dir is fingerprinted by host CPU features + jax version
+# (utils.enable_compilation_cache), so entries never leak across machines;
+# tests run under x64, so their entries are disjoint from the examples'.
+from universal_differential_equations_tpu.utils import (  # noqa: E402
+    enable_compilation_cache as _enable_cache,
+)
+
+_enable_cache()

@@ -84,9 +84,12 @@ def multiple_shoot(
         prob = ODEProblem(rhs, u0, (tw[0], tw[-1]), params)
         sol = solve(prob, solver, saveat=tw, rtol=rtol, atol=atol,
                     adjoint=adjoint, max_steps=max_steps)
-        return sol.ys, sol.success
+        # error_sum (populated on the bounded-scan adjoints) is the
+        # differentiable handle on "how hard was this segment to integrate"
+        err = sol.error_sum if sol.error_sum is not None else jnp.zeros(())
+        return sol.ys, sol.success, err
 
-    preds, seg_ok = jax.vmap(solve_segment)(u0s, seg_ts)  # (n_seg, g, dim)
+    preds, seg_ok, seg_err = jax.vmap(solve_segment)(u0s, seg_ts)
 
     if loss_fn is None:
         def loss_fn(pred, target, m):
@@ -103,8 +106,12 @@ def multiple_shoot(
     # would silently enter the loss.  A large finite penalty per failed
     # segment makes line searches and LM reject the region while keeping
     # ADAM's gradients finite (the vectorized analogue of the reference's
-    # try/catch around a failed shooting solve).
-    failure_penalty = 1e4 * jnp.sum(
-        jnp.where(seg_ok, 0.0, 1.0).astype(data_loss.dtype)
-    )
+    # try/catch around a failed shooting solve).  The flat 1e4 term is
+    # piecewise constant (zero gradient), so first-order optimizers also
+    # get a restoring direction from the failed segments' error_sum — the
+    # differentiable sum of tolerance-normalized local error norms, which
+    # shrinks as the parameters move back toward an integrable region.
+    failed = jnp.where(seg_ok, 0.0, 1.0).astype(data_loss.dtype)
+    restoring = jnp.sum(failed * seg_err.astype(data_loss.dtype)) / max_steps
+    failure_penalty = 1e4 * jnp.sum(failed) + restoring
     return data_loss + continuity_term * continuity + failure_penalty
