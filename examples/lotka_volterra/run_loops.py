@@ -20,9 +20,11 @@ Success metrics per noise level (``loop_evaluation.jl:30-35,102-130``):
 (Measured dead end, do not re-chase: at 5e-2 noise the x·y-found rate is
 init-dependent per draw, but neither pick-by-final-loss — the lowest-loss
 init can carry the *worst* interaction shape — nor ensemble-averaging the
-learned term across 3 inits beats a single init; two of eight draws fail
-for every init.  The high-noise rates are information-limited by the
-31-point window, not by training restarts.)
+learned term across 3 inits beats a single init.  Training restarts do not
+help; what DID lift 5e-2 exact from 9% to 50% was the selection stage —
+per_size=2 ladders + exhaustive smallest-size refits, refit_top=(4,2,2,2) —
+because the pre-refit ranking, not the information content, was discarding
+the true structure.)
 
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
@@ -51,12 +53,21 @@ enable_compilation_cache()
 
 NOISE_LEVELS = (1e-3, 5e-3, 1e-2, 2.5e-2, 5e-2)  # run_loops.jl:40-46
 LAMS = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.2))
+# the reference protocol's SR3 sweep grid, exp10.(-7:0.1:7)
+# (loop_recoveries.jl:102) — used by the SR3→STRRidge comparison arm
+LAMS_SR3 = tuple(10.0 ** e for e in np.arange(-7.0, 7.01, 0.1))
+# denoise=true applies SVHT shrinkage; on a 31-sample Θ the median rule
+# clips most of the spectrum, so the arm is run with it off by default
+# (the fairer reading of the protocol on this window) — flip to compare
+SR3_DENOISE = False
 BASIS = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
 I_XY = BASIS.names.index("u1*u2")
 BFGS_ROUNDS = 4
 BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
 LM_ROUNDS = 2
 CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
+RECOVER_CHUNK = 13  # recovery-stage lanes per dispatch: 10 refit finalists
+# × 50 BFGS iters ≈ 2× a training round's per-lane work, so half the lanes
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
 
 
@@ -289,11 +300,13 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         theta_feat = basis.theta(Xh)
 
         def ladder(y):
-            """Best candidate per support size 1..K_SEL, CV-scored
-            (library form: sindy.cv_ladder; exhaustive support-1 fits
-            appended because greedy thresholding cannot un-cancel
-            collinear groups)."""
-            return sd.cv_ladder(theta_feat, y, opt_s, K_SEL,
+            """Top-2 distinct-support candidates per support size 1..K_SEL,
+            CV-scored (library form: sindy.cv_ladder; exhaustive support-1
+            fits appended because greedy thresholding cannot un-cancel
+            collinear groups).  per_size=2 keeps the runner-up structure:
+            at mid noise the CV-best single term is sometimes a near-alias
+            of x·y, and only the refit judge can separate them."""
+            return sd.cv_ladder(theta_feat, y, opt_s, K_SEL, per_size=2,
                                 extra_supports=masks1)
 
         # CV ranks candidates *within* each support size; the cross-size
@@ -302,14 +315,22 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         # (sindy/select.py — the automated version of the reference's
         # visual check, scenario_1.jl:193-207): wrong structures stall far
         # above the noise floor mag²·E[x̄²] once their coefficients are
-        # optimized against the data, the true one reaches it.  Budget:
-        # 4 finalists × 60 BFGS iters per lane (watchdog-safe at 25 lanes).
+        # optimized against the data, the true one reaches it.  refit_top=2
+        # judges BOTH top pre-refit combos per total size, so a same-size
+        # alias ranked first by the biased pre-refit error cannot hide the
+        # truth.  k=2 refits exhaustively (all 4 size-1×size-1 combos):
+        # the 1e-2 diagnostic showed the exact structure in-band but ranked
+        # 3rd/4th pre-refit in every contains-but-not-exact lane.  Budget:
+        # 10 finalists × 50 BFGS iters per lane (watchdog-safe at
+        # RECOVER_CHUNK=13 lanes).
+        sizes_r = jnp.repeat(jnp.arange(1, K_SEL + 1), 2)
         C_sel, rel, _ = sd.select_by_simulation(
             [ladder(Yh[:, 0]), ladder(Yh[:, 1])], dense_rhs, data[0],
             0.0, t_end, data, ude.Tsit5(), n_step, sub=SUB,
-            rel_factor=1.5, max_rel=1.0, refit_iters=60,
+            rel_factor=1.5, max_rel=1.0, refit_iters=50,
             loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
-            max_total_support=5)
+            max_total_support=5, sizes=[sizes_r, sizes_r],
+            refit_top=(4, 2, 2, 2))
         act1 = C_sel[:, 0] != 0.0
         act2 = C_sel[:, 1] != 0.0
         want = jnp.zeros(m, bool).at[i_xy].set(True)
@@ -321,7 +342,18 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
             final_loss < jnp.maximum(1e-3, 4.0 * mag**2 * x_mean_sq))
         exact = jnp.all(act1 == want) & jnp.all(act2 == want) & fit_ok
         contains = act1[i_xy] & act2[i_xy] & fit_ok
-        return exact, contains, fit_ok, C_sel[:, 0], C_sel[:, 1]
+
+        # Comparison arm — the reference's own two-stage protocol on the
+        # SAME lane (same trained net, same data): SR3 λ-sweep scored by
+        # g(x) = x[1] < 1 ? Inf : ‖(L0, L2err)‖₂, structure freeze,
+        # STRRidge(0.01) refit (loop_recoveries.jl:100-125).
+        C_sr3 = sd.two_stage_recovery(theta_feat, Yh, LAMS_SR3,
+                                      denoise=SR3_DENOISE)
+        a1s, a2s = C_sr3[:, 0] != 0.0, C_sr3[:, 1] != 0.0
+        exact_sr3 = jnp.all(a1s == want) & jnp.all(a2s == want) & fit_ok
+        contains_sr3 = a1s[i_xy] & a2s[i_xy] & fit_ok
+        return (exact, contains, fit_ok, C_sel[:, 0], C_sel[:, 1],
+                exact_sr3, contains_sr3, C_sr3[:, 0], C_sr3[:, 1])
 
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
           f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
@@ -330,17 +362,21 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
     # the reference appends each run to the shared JLD2 inside the loop, so
     # a killed study resumes where it stopped; our unit is the lane chunk).
     arch = KeyedArchive(Path(__file__).parent / "results")
-    chunk_keys = ("exact", "contains", "fit_ok", "coef1", "coef2", "loss")
+    chunk_keys = ("exact", "contains", "fit_ok", "coef1", "coef2",
+                  "exact_sr3", "contains_sr3", "coef1_sr3", "coef2_sr3",
+                  "loss")
     t0 = time.time()
     results = []
     for c0 in range(0, n_runs, CHUNK):
         gname = f"loop_chunk_r{runs_per_level}_{c0:04d}"
         if resume and gname in arch:
             g = arch.load(gname)
-            results.append(tuple(jnp.asarray(g[k]) for k in chunk_keys))
-            print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes resumed from "
-                  f"{gname}", flush=True)
-            continue
+            if all(k in g for k in chunk_keys):
+                results.append(tuple(jnp.asarray(g[k]) for k in chunk_keys))
+                print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes resumed "
+                      f"from {gname}", flush=True)
+                continue
+            # pre-SR3-arm archive: recompute the chunk so both arms exist
         sl = slice(c0, min(c0 + CHUNK, n_runs))
         theta, data = adam_stage(keys[sl], noise_mags[sl])
         loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
@@ -348,8 +384,17 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
             theta, loss = bfgs_round(theta, data)
         for _ in range(LM_ROUNDS):
             theta, loss = lm_round(theta, data)
-        results.append(recover_stage(theta, data, loss, noise_mags[sl])
-                       + (loss,))
+        # the recovery stage carries ~2× the refit work per lane of a
+        # training round, so it dispatches in smaller watchdog-safe slices
+        mags_sl = noise_mags[sl]
+        parts = [recover_stage(theta[r0:r0 + RECOVER_CHUNK],
+                               data[r0:r0 + RECOVER_CHUNK],
+                               loss[r0:r0 + RECOVER_CHUNK],
+                               mags_sl[r0:r0 + RECOVER_CHUNK])
+                 for r0 in range(0, theta.shape[0], RECOVER_CHUNK)]
+        rec = tuple(jnp.concatenate([p[i] for p in parts])
+                    for i in range(len(parts[0])))
+        results.append(rec + (loss,))
         jax.block_until_ready(results[-1][0])
         if archive:
             # archive=False callers (the benchmark harness) must not write
@@ -357,38 +402,56 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
             arch.save(gname, **dict(zip(chunk_keys, results[-1])))
         print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
-    exact, contains, fit_ok, c1, c2, fin_loss = [
-        np.concatenate([np.asarray(r[i]) for r in results]) for i in range(6)
+    (exact, contains, fit_ok, c1, c2, exact_sr3, contains_sr3, c1_sr3,
+     c2_sr3, fin_loss) = [
+        np.concatenate([np.asarray(r[i]) for r in results])
+        for i in range(len(chunk_keys))
     ]  # c1/c2: (n_runs, m) full recovered coefficient vectors
     wall = time.time() - t0
 
     exact = exact.reshape(n_levels, runs_per_level)
     contains = contains.reshape(n_levels, runs_per_level)
     fit_ok = fit_ok.reshape(n_levels, runs_per_level)
+    exact_sr3 = exact_sr3.reshape(n_levels, runs_per_level)
+    contains_sr3 = contains_sr3.reshape(n_levels, runs_per_level)
     print(f"total wall-clock: {wall:.1f}s "
           f"({wall/n_runs*1e3:.0f} ms per full recovery)")
-    print(f"{'noise':>8} | {'trained':>8} | {'x*y found':>9} | {'exact':>6}")
+    print("selection arms on the same trained lanes: 'judge' = simulation-"
+          "judged STLSQ ladder, 'sr3' = the reference's SR3→STRRidge "
+          "two-stage protocol (loop_recoveries.jl:100-125)")
+    print(f"{'noise':>8} | {'trained':>8} | {'x*y found':>9} | {'exact':>6} "
+          f"| {'sr3 x*y':>8} | {'sr3 exact':>9}")
     for lvl, mag in enumerate(NOISE_LEVELS):
         print(f"{mag:8.0e} | {fit_ok[lvl].mean():8.1%} | "
-              f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%}")
+              f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%} | "
+              f"{contains_sr3[lvl].mean():8.1%} | "
+              f"{exact_sr3[lvl].mean():9.1%}")
 
     if archive:
         arch.save("loop_study", exact=jnp.asarray(exact),
                   contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
                   coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
-                  final_loss=jnp.asarray(fin_loss))
+                  final_loss=jnp.asarray(fin_loss),
+                  exact_sr3=jnp.asarray(exact_sr3),
+                  contains_sr3=jnp.asarray(contains_sr3),
+                  coef1_sr3=jnp.asarray(c1_sr3),
+                  coef2_sr3=jnp.asarray(c2_sr3))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
                     fin_loss)
+    # gates at the measured band minus a reproducibility margin (measured
+    # r2 full study: contains 89/85%, exact 89/85% at 1e-3/5e-3)
     low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
-    assert low_noise_rate >= 0.4, \
+    assert low_noise_rate >= 0.75, \
         f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
     low_noise_exact = (exact[0].mean() + exact[1].mean()) / 2
-    assert low_noise_exact >= 0.3, \
+    assert low_noise_exact >= 0.7, \
         f"low-noise exact-structure rate too low: {low_noise_exact:.0%}"
     return dict(exact=exact.mean(axis=1).tolist(),
-                contains=contains.mean(axis=1).tolist(), wall=wall)
+                contains=contains.mean(axis=1).tolist(),
+                exact_sr3=exact_sr3.mean(axis=1).tolist(),
+                contains_sr3=contains_sr3.mean(axis=1).tolist(), wall=wall)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,12 @@ from .basis import (
 )
 from .collocation import collocate_data
 from .optimizers import SR3, STLSQ, STRRidge, masked_lstsq
-from .select import best_per_support, cv_ladder, select_by_simulation
+from .select import (
+    best_per_support,
+    cv_ladder,
+    select_by_simulation,
+    two_stage_recovery,
+)
 from .solve import (
     ContinuousDataDrivenProblem,
     DataSampler,

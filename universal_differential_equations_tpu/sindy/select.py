@@ -38,7 +38,107 @@ import jax.numpy as jnp
 
 from ..core.integrate import integrate_fixed
 
-__all__ = ["best_per_support", "cv_ladder", "select_by_simulation"]
+__all__ = ["best_per_support", "cv_ladder", "select_by_simulation",
+           "two_stage_recovery"]
+
+
+def _svht_denoise_traced(theta):
+    """Optimal singular-value hard threshold (Gavish & Donoho 2014), the
+    traceable (jit/vmap-safe) twin of ``solve._svht_denoise`` for use inside
+    ensemble lanes — the reference's ``denoise=true``
+    (``loop_recoveries.jl:107``)."""
+    N, m = theta.shape
+    U, s, Vt = jnp.linalg.svd(theta, full_matrices=False)
+    beta = min(N, m) / max(N, m)
+    omega = 0.56 * beta**3 - 0.95 * beta**2 + 1.82 * beta + 1.43
+    tau = omega * jnp.median(s)
+    return (U * jnp.where(s >= tau, s, 0.0)) @ Vt
+
+
+def two_stage_recovery(theta, Y, lams, *, nu: float = 0.1,
+                       sr3_maxiter: int = 500, refit_threshold: float = 0.01,
+                       refit_ridge: float = 0.01, refit_maxiter: int = 10,
+                       normalize: bool = True, denoise: bool = True,
+                       g=None):
+    """The reference's SR3 → STRRidge two-stage recovery protocol
+    (``loop_recoveries.jl:100-125``), traceable for use inside vmapped
+    ensemble lanes.
+
+    Stage 1 — structure search: SR3(ν=``nu``) swept over the threshold grid
+    ``lams`` (the reference uses ``exp10.(-7:0.1:7)``; keep ``sr3_maxiter``
+    high — the reference runs 50000 — because an under-converged SR3
+    alternation skips support sizes along the λ path; iterations are single
+    (m, m) matvecs, so hundreds are cheap) on the normalized
+    (and optionally SVHT-denoised) normal equations; per target, candidates
+    are scored by the reference's objective ``g(x) = x[1] < 1 ? Inf :
+    norm(x, 2)`` with ``x = (L0 of coefficients, L2 error of the model)`` —
+    empty models are rejected, otherwise sparsity dominates with the
+    residual as tie-break.
+
+    Stage 2 — parameter refit: the winning structure is frozen and the
+    coefficients are re-estimated by STRRidge(``refit_threshold``) restricted
+    to the frozen support (re-thresholding may only *drop* frozen terms,
+    exactly like refitting in the reduced basis), with a final unbiased
+    least-squares polish on the surviving support.
+
+    Args:
+      theta: (N, m) feature matrix Θ(X).
+      Y: (N,) or (N, T) regression target(s).
+      lams: SR3 threshold grid.
+      g: optional replacement objective ``g(l0, l2err) -> score``
+        (lower = better, ``inf`` = rejected).
+
+    Returns ``C``: (m, T) coefficients in raw feature scale ((m,) if ``Y``
+    was 1-D).
+    """
+    from .optimizers import SR3, masked_lstsq
+
+    theta = jnp.asarray(theta)
+    Y2 = jnp.asarray(Y)
+    squeeze = Y2.ndim == 1
+    if squeeze:
+        Y2 = Y2[:, None]
+    n_rows, m = theta.shape
+    if denoise:
+        theta = _svht_denoise_traced(theta)
+    if normalize:
+        fsc = jnp.linalg.norm(theta, axis=0) / jnp.sqrt(1.0 * n_rows)
+        fsc = jnp.where(fsc > 0, fsc, 1.0)
+    else:
+        fsc = jnp.ones((m,), theta.dtype)
+    th_n = theta / fsc
+    gram = th_n.T @ th_n
+    opt = SR3(thresholds=tuple(float(x) for x in lams), nu=nu,
+              maxiter=sr3_maxiter)
+    if g is None:
+        g = lambda l0, l2: jnp.where(l0 < 1.0, jnp.inf,
+                                     jnp.sqrt(l0**2 + l2**2))
+    eps_ridge = 10.0 * jnp.finfo(gram.dtype).eps * jnp.mean(jnp.diag(gram))
+
+    def per_target(y):
+        ysc = jnp.sqrt(jnp.mean(y**2)) + 1e-30
+        yn = (y / ysc) if normalize else y
+        corr = th_n.T @ yn
+        yty = jnp.sum(yn**2)
+        xi, active = opt.fit_grid(gram, corr)  # (L, m)
+        rss = (jnp.einsum("li,ij,lj->l", xi, gram, xi)
+               - 2.0 * (xi @ corr) + yty)
+        l2err = jnp.sqrt(jnp.maximum(rss, 0.0))
+        l0 = active.sum(axis=1).astype(xi.dtype)
+        score = g(l0, l2err)
+        frozen = active[jnp.argmin(score)]
+
+        def body(act, _):
+            xi_r = masked_lstsq(gram, corr, act, refit_ridge)
+            return (jnp.abs(xi_r) >= refit_threshold) & frozen, None
+
+        act, _ = jax.lax.scan(body, frozen, None, length=refit_maxiter)
+        xi_f = masked_lstsq(gram, corr, act, eps_ridge)
+        xi_f = jnp.where(act, xi_f, 0.0)
+        return xi_f * (ysc if normalize else 1.0) / fsc
+
+    C = jax.vmap(per_target, in_axes=1, out_axes=1)(Y2)
+    return C[:, 0] if squeeze else C
 
 
 def cv_ladder(theta, y, optimizer, max_support, *, per_size: int = 1,
@@ -181,6 +281,7 @@ def select_by_simulation(
     max_total_support: int = 0,
     sizes: Sequence = None,
     refit_all: bool = False,
+    refit_top=1,
 ):
     """Pick the sparsest candidate combination that re-simulates ``data``.
 
@@ -215,6 +316,16 @@ def select_by_simulation(
       finalist per size — required when same-size candidates are
       near-aliased on the window (u vs sin(u)) so the pre-refit
       trajectory error cannot pick the finalist; keep K^T small.
+      ``refit_top > 1`` is the cheaper middle ground: the top ``refit_top``
+      combinations per total support size (by pre-refit trajectory error)
+      all become finalists, so a biased pre-refit ranking cannot hide the
+      true structure behind a same-size alias — essential for ladders built
+      with ``per_size > 1``.  A sequence (one entry per total size
+      T..k_max) spends the refit budget where it matters: measured on the
+      LV loop study at 1e-2 noise, every contains-but-not-exact selection
+      had the true sparsest combination in the ladder and inside the loss
+      band, but ranked 3rd/4th pre-refit — so the smallest size warrants
+      exhaustive refits (``per_size**T``) while larger sizes keep top-2.
 
     Ladders built with ``per_size > 1`` must pass their rung support
     sizes via ``sizes`` (one array per target); otherwise rung r is
@@ -280,14 +391,26 @@ def select_by_simulation(
         k_max = max_total_support or int(
             sum(jnp.max(jnp.asarray(s)) for s in sizes) if sizes is not None
             else sum(c[0].shape[0] for c in candidates))
-        k_f = jnp.arange(T, k_max + 1)
-
-        def finalist(k):
+        k_sizes = list(range(T, k_max + 1))
+        tops = ([int(refit_top)] * len(k_sizes)
+                if jnp.ndim(refit_top) == 0 and not isinstance(
+                    refit_top, (list, tuple))
+                else [int(x) for x in refit_top])
+        assert len(tops) == len(k_sizes), (
+            f"refit_top sequence needs one entry per total size "
+            f"{k_sizes}, got {tops}")
+        C_parts, ok_parts, k_parts = [], [], []
+        for k, top in zip(k_sizes, tops):
             s = jnp.where((k_tot == k) & jnp.isfinite(rel), rel, jnp.inf)
-            i = jnp.argmin(s)
-            return Cs[i], jnp.isfinite(s[i])
-
-        C_f, ok_f = jax.vmap(finalist)(k_f)
+            for _ in range(top):
+                i = jnp.argmin(s)
+                C_parts.append(Cs[i])
+                ok_parts.append(jnp.isfinite(s[i]))
+                k_parts.append(k)
+                s = s.at[i].set(jnp.inf)
+        C_f = jnp.stack(C_parts)
+        ok_f = jnp.stack(ok_parts)
+        k_f = jnp.asarray(k_parts)
 
     def refit(C0):
         mask = (C0 != 0.0).astype(C0.dtype)
