@@ -45,7 +45,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--full-res", action="store_true",
-                    help="reference-scale grids (128 tracer, 128x4x128 RT)")
+                    help="reference-scale grids (128 tracer, 128x2x128 RT)")
     ap.add_argument("--plot", action="store_true",
                     help="write the horizontal-average evolution figure")
     args = ap.parse_args()
@@ -65,7 +65,7 @@ def main():
 
     # --- Rayleigh-Taylor instability (rayleigh_taylor_instability_3d.jl) ---
     if args.full_res:
-        shape, endt = (128, 4, 128), 4.0
+        shape, endt = (128, 2, 128), 4.0  # the reference's slab (:13-15)
     elif args.quick:
         shape, endt = (16, 2, 16), 0.2
     else:

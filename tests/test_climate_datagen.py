@@ -85,3 +85,31 @@ def test_rt_step_benchmark_helper():
 
     per = rt_step_seconds(N=(8, 2, 8), ni=4, repeats=2)
     assert 0.0 < per < 1.0
+
+
+def test_load_oceananigans_averages_reference_dataset():
+    # ingest the reference's committed Oceananigans horizontal-average
+    # output (data, not code) — the training set of npde_data.jl:41-55
+    import os
+
+    import pytest
+
+    path = ("/root/reference/Climate/DataGeneration/"
+            "rayleigh_taylor_instability_3d_horizontal_averages.jld2")
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    if not os.path.exists(path):
+        pytest.skip("reference dataset not present")
+    from universal_differential_equations_tpu.models.climate_datagen import (
+        load_oceananigans_averages,
+    )
+
+    t, z, b = load_oceananigans_averages(path)
+    assert b.shape == (len(t), len(z)) == (101, 128)
+    assert t[0] == 0.0 and 9.5 < t[-1] < 10.5
+    assert (np.diff(t) > 0).all()
+    # buoyancy profiles: ±1 RT step mixing toward 0, monotone z-extent
+    assert np.isfinite(b).all() and np.abs(b).max() <= 1.0 + 1e-6
+    assert abs(b[0, 0] - 1.0) < 0.1 and abs(b[0, -1] + 1.0) < 0.1
+    mid = b.shape[1] // 2
+    assert abs(b[-1, mid + 1] - b[-1, mid - 1]) < abs(b[0, mid + 1]
+                                                      - b[0, mid - 1])

@@ -33,7 +33,38 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["advection_diffusion_3d", "rayleigh_taylor_3d", "coarse_grain",
-           "rt_step_seconds"]
+           "rt_step_seconds", "load_oceananigans_averages"]
+
+
+def load_oceananigans_averages(path, field: str = "b"):
+    """Ingest an Oceananigans horizontal-average JLD2 output file.
+
+    JLD2 is HDF5 underneath, so the reference's *committed dataset* —
+    ``rayleigh_taylor_instability_3d_horizontal_averages.jld2``, the training
+    data of ``npde_data.jl:41-55`` — loads directly (data, not code): profile
+    snapshots live at ``timeseries/<field>/<iteration>`` with matching
+    scalars at ``timeseries/t/<iteration>`` and the vertical extent under
+    ``grid/``.  Returns ``(t (Nt,), z (Nz,), profiles (Nt, Nz))`` sorted by
+    time, matching :func:`rayleigh_taylor_3d`'s output convention.
+
+    Requires ``h5py``; raises ImportError if unavailable (callers fall back
+    to regenerating data with :func:`rayleigh_taylor_3d`).
+    """
+    import h5py
+    import numpy as np
+
+    with h5py.File(path, "r") as f:
+        iters = sorted(f["timeseries/t"].keys(), key=int)
+        t = np.array([f[f"timeseries/t/{i}"][()] for i in iters])
+        prof = np.stack([f[f"timeseries/{field}/{i}"][()] for i in iters])
+        nz = int(f["grid/Nz"][()])
+        lz = float(f["grid/Lz"][()])
+    assert prof.shape == (len(iters), nz), prof.shape
+    # npde_data.jl:60 uses grid = range(0, 1, length=N) — node coordinates
+    # spanning the Lz extent
+    z = np.linspace(0.0, lz, nz)
+    return (t.astype(np.float32), z.astype(np.float32),
+            prof.astype(np.float32))
 
 
 def _lap_periodic(c, dx):
