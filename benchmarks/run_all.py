@@ -162,6 +162,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", default="1,2,3,4,5,6")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="also write the rows to this JSON file (the "
+                         "committed per-round artifact, e.g. "
+                         "benchmarks/results_r02.json)")
     args = ap.parse_args()
     enable_compilation_cache()
     rows = [int(r) for r in args.rows.split(",")]
@@ -183,6 +187,11 @@ def main():
     for r in results:
         print(f"| {r['metric']} | {r['value']} {r['unit']} | "
               f"{r['baseline']} | {r['vs_baseline']}x |")
+    if args.out:
+        payload = dict(platform=jax.devices()[0].platform,
+                       device=str(jax.devices()[0]), rows=results)
+        Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
