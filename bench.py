@@ -14,7 +14,6 @@ A secondary benchmark (climate neural-PDE adjoint evaluation vs the
 reference's measured 0.879 s) lives in benchmarks/climate_adjoint_bench.py.
 """
 import json
-import subprocess
 import sys
 import time
 from pathlib import Path
@@ -61,29 +60,9 @@ def train_run(seed, residuals):
     return wall, float(res.loss)
 
 
-def probe_device(timeout_s=60.0):
-    """True if a trivial jit dispatch completes on this host's accelerator.
-
-    Runs in a child process so a wedged TPU worker (whose probes *hang*
-    rather than error — see CLAUDE.md) can be killed instead of hanging the
-    benchmark.  On runtimes with exclusive device access the child can fail
-    simply because THIS process still holds the TPU client — that is a
-    healthy device answering "busy", not a hang, so busy-flavoured errors
-    count as recovered (the parent's next dispatch will be the real test).
-    """
-    code = "import jax; jax.jit(lambda x: x + 1)(1.0); print('ok')"
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        return False
-    if r.returncode == 0:
-        return True
-    busy_markers = ("already in use", "in use by", "resource busy",
-                    "device or resource busy", "already been initialized",
-                    "unavailable: no tpu", "libtpu is already in use")
-    err = (r.stderr or "").lower()
-    return any(m in err for m in busy_markers)
+# child-process device probe with busy-marker handling — shared with the
+# crash-resilient example training loops
+from universal_differential_equations_tpu.utils import probe_device  # noqa: E402
 
 
 def main():

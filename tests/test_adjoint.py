@@ -213,3 +213,40 @@ def test_differentiable_error_sum_regularizer():
     )(jnp.asarray(5.0))
     assert float(g) > 0.0 and np.isfinite(float(g))
     assert esum(jnp.asarray(1.0), ude.NoAdjoint()).error_sum is None
+
+
+@pytest.mark.parametrize("adjoint", [
+    ude.InterpolatingAdjoint(), ude.QuadratureAdjoint(),
+    ude.BacksolveAdjoint()])
+def test_failed_forward_poisons_continuous_adjoint(adjoint):
+    # du = p*u² blows up at t = 1/p < t1, so the forward solve fails; the
+    # continuous-adjoint backward must gate on forward success and return a
+    # NaN-poisoned gradient WITHOUT integrating the NaN dynamics — feeding
+    # them to the adaptive backward loops has been observed to fault the
+    # TPU runtime outright (worker crash), not just return garbage.
+    def rhs(t, y, p):
+        return p * y * y
+
+    def loss(p):
+        sol = ude.solve(
+            ude.ODEProblem(rhs, jnp.ones(1), (0.0, 2.0), p), ude.Tsit5(),
+            saveat=jnp.linspace(0.0, 2.0, 5), rtol=1e-6, atol=1e-9,
+            adjoint=adjoint, max_steps=256,
+        )
+        return jnp.sum(sol.ys[-1])
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(2.0))
+    assert bool(jnp.isnan(g)), f"expected NaN-poisoned gradient, got {g}"
+    # and the healthy path still differentiates cleanly under the gate
+    def loss_ok(p):
+        sol = ude.solve(
+            ude.ODEProblem(rhs, jnp.ones(1), (0.0, 0.25), p), ude.Tsit5(),
+            saveat=jnp.linspace(0.0, 0.25, 5), rtol=1e-8, atol=1e-10,
+            adjoint=adjoint, max_steps=256,
+        )
+        return jnp.sum(sol.ys[-1])
+
+    g_ok = jax.jit(jax.grad(loss_ok))(jnp.asarray(2.0))
+    # analytic: u(t) = 1/(1 - p t), du(T)/dp = T / (1 - p T)^2
+    expect = 0.25 / (1.0 - 2.0 * 0.25) ** 2
+    np.testing.assert_allclose(float(g_ok), expect, rtol=1e-5)

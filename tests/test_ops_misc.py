@@ -100,3 +100,19 @@ def test_benchmark_utility():
     stats = benchmark(lambda x: jnp.sum(x * x), jnp.ones(128), repeats=3,
                       warmup=1)
     assert stats["median_s"] > 0 and np.isfinite(stats["compile_s"])
+
+
+def test_device_probe_helpers():
+    # failure-detection utilities (SURVEY §5): a healthy host answers the
+    # child-process probe, and wait_for_device returns promptly when it does
+    import time
+
+    from universal_differential_equations_tpu.utils import (
+        probe_device,
+        wait_for_device,
+    )
+
+    assert probe_device(timeout_s=120.0)
+    t0 = time.time()
+    assert wait_for_device(deadline_s=180.0, poll_s=5.0)
+    assert time.time() - t0 < 150.0

@@ -238,17 +238,41 @@ def _cont_fwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
               y0, t0, t1, args, ts_save, tstops):
     out = _primal(f, solver, controller, rtol, atol, dt0, max_steps,
                   y0, t0, t1, args, ts_save, tstops)
-    (ys, y_final, buf_t, buf_y, buf_f, num_points, direction, *_rest) = out
+    (ys, y_final, buf_t, buf_y, buf_f, num_points, direction, t_final,
+     success, *_rest) = out
     residuals = (buf_t, buf_y, buf_f, num_points, direction, ys,
-                 y0, t0, t1, args, ts_save, tstops)
+                 y0, t0, t1, args, ts_save, tstops, success)
     return out, residuals
 
 
 def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
               residuals, cts):
     (buf_t, buf_y, buf_f, num_points, direction, ys_save,
-     y0, t0, t1, args, ts_save, tstops) = residuals
+     y0, t0, t1, args, ts_save, tstops, fwd_success) = residuals
     g_ys, g_yfin = cts[0], cts[1]  # remaining outputs are non-differentiable
+
+    # A failed or NaN-poisoned forward must never reach the backward
+    # integrators: adaptive while_loops fed NaN dynamics have been observed
+    # to fault the TPU runtime outright (worker crash at the 128-level
+    # climate net, reproducible) rather than merely return garbage.  Gate on
+    # forward success AND finite cotangents; when the gate fails, every
+    # state/cotangent buffer is zeroed so the backward integrates benign
+    # trivial dynamics (λ≡0, cheap and finite), and the returned gradient is
+    # NaN-poisoned below exactly as for a failed backward segment.
+    fwd_ok = (fwd_success
+              & jnp.all(jnp.isfinite(g_yfin))
+              & jnp.all(jnp.isfinite(g_ys)))
+    _san = lambda x: jnp.where(fwd_ok, x, jnp.zeros_like(x))
+    buf_y, buf_f, ys_save = _san(buf_y), _san(buf_f), _san(ys_save)
+    g_ys, g_yfin = _san(g_ys), _san(g_yfin)
+    # the time buffer needs the canonical single-point layout, not zeros: a
+    # diverged forward leaves NaN step times, and NaN window widths would
+    # re-poison the Hermite weights the backward reads u(t) through
+    buf_t = jnp.where(
+        fwd_ok, buf_t,
+        jnp.full_like(buf_t, jnp.inf).at[0].set(
+            jnp.asarray(t0, buf_t.dtype)))
+    num_points = jnp.where(fwd_ok, num_points, 1)
 
     nodes = cfg.interp_nodes
     if nodes is None:
@@ -311,21 +335,36 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
             return (z, t_lo, mu), res.success
 
         n_seg = ts_save.shape[0]
-        (z, t_hi, mu), seg_ok = jax.lax.scan(
-            q_segment, (g_yfin, t1, mu0_flat), jnp.arange(n_seg - 1, -1, -1)
-        )
-        res = integrate_while(
-            adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
-            cfg.segment_max_steps, ctrl,
-        )
-        mu = mu + seg_mu(res.dense, t0, t_hi)
+
+        def _run_quad(_):
+            (z, t_hi, mu), seg_ok = jax.lax.scan(
+                q_segment, (g_yfin, t1, mu0_flat),
+                jnp.arange(n_seg - 1, -1, -1)
+            )
+            res = integrate_while(
+                adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
+                cfg.segment_max_steps, ctrl,
+            )
+            return (res.y_final, mu + seg_mu(res.dense, t0, t_hi),
+                    jnp.all(seg_ok) & res.success)
+
+        def _skip_quad(_):
+            return (jnp.full_like(g_yfin, jnp.nan),
+                    jnp.full_like(mu0_flat, jnp.nan), jnp.asarray(False))
+
+        # lax.cond: the backward integrators never EXECUTE on a failed
+        # forward (stabilized solvers have been observed to fault the TPU
+        # runtime when stepped through a gated-but-failed pass; cond
+        # executes one branch, unlike where).  Caveat: under vmap, cond
+        # lowers to select and both branches run — batched continuous
+        # adjoints still rely on the buffer sanitization above.
+        y_fin_b, mu, ok = jax.lax.cond(fwd_ok, _run_quad, _skip_quad, None)
         # A failed λ segment would feed its clamped dense tail into the
         # quadrature and return a silently wrong gradient — poison instead
         # (see the shared note at the end of this function).
-        ok = jnp.all(seg_ok) & res.success
         poison = lambda x: jnp.where(ok, x, jnp.full_like(x, jnp.nan))
         zero = lambda x: jnp.zeros_like(jnp.asarray(x))
-        return (poison(res.y_final), zero(t0), zero(t1),
+        return (poison(y_fin_b), zero(t0), zero(t1),
                 jax.tree.map(poison, unravel_mu(mu)),
                 jnp.zeros_like(ts_save), jax.tree.map(jnp.zeros_like, tstops))
 
@@ -383,14 +422,23 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
         z = at_boundary(res.y_final, i)
         return (z, t_lo), res.success
 
-    (z, t_hi), seg_ok = jax.lax.scan(
-        segment, (z_init, t1), jnp.arange(n_seg - 1, -1, -1)
-    )
-    res = integrate_while(
-        adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
-        cfg.segment_max_steps, ctrl, err_weights=err_w,
-    )
-    z = res.y_final
+    def _run_bwd(_):
+        (z, t_hi), seg_ok = jax.lax.scan(
+            segment, (z_init, t1), jnp.arange(n_seg - 1, -1, -1)
+        )
+        res = integrate_while(
+            adj_rhs, z, t_hi, t0, None, solver, a_rtol, a_atol, None,
+            cfg.segment_max_steps, ctrl, err_weights=err_w,
+        )
+        return res.y_final, jnp.all(seg_ok) & res.success
+
+    def _skip_bwd(_):
+        return jnp.full_like(z_init, jnp.nan), jnp.asarray(False)
+
+    # lax.cond: see the quadrature branch — the backward solves never
+    # execute on a failed forward (device-fault prevention); under vmap
+    # this lowers to select, where the sanitized buffers are the guard.
+    z, ok = jax.lax.cond(fwd_ok, _run_bwd, _skip_bwd, None)
 
     if cfg.kind == "interp":
         y0_bar = z[:dim]
@@ -403,7 +451,6 @@ def _cont_bwd(f, solver, controller, rtol, atol, dt0, max_steps, cfg,
     # reached adjoint state.  Raising is impossible under jit; NaN-poisoning
     # is the loud equivalent, and the ensemble layer already masks NaN
     # lanes (the vectorized try/catch, SURVEY.md §5).
-    ok = jnp.all(seg_ok) & res.success
     poison = lambda x: jnp.where(ok, x, jnp.full_like(x, jnp.nan))
     args_bar = jax.tree.map(poison, unravel_mu(mu))
     zero = lambda x: jnp.zeros_like(jnp.asarray(x))

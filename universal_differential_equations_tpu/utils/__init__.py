@@ -15,7 +15,57 @@ from .profiling import StepTimer, benchmark, trace
 
 __all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
            "tree_add", "tree_scale", "rescale_problem",
-           "enable_compilation_cache", "benchmark", "trace", "StepTimer"]
+           "enable_compilation_cache", "benchmark", "trace", "StepTimer",
+           "probe_device", "wait_for_device"]
+
+
+def probe_device(timeout_s: float = 60.0) -> bool:
+    """True if the accelerator answers a trivial dispatch.
+
+    Failure-detection half of the fault-tolerance story (SURVEY §5): the
+    TPU worker crashes sporadically under sustained load, and afterwards
+    dispatches *hang* rather than error — so the probe runs in a child
+    process that can be killed.  On runtimes with exclusive device access
+    the child can fail simply because THIS process still holds the device
+    client; that is a healthy device answering "busy", not a hang, so
+    busy-flavoured errors count as alive (the parent's next dispatch is the
+    real test).
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; jax.jit(lambda x: x + 1)(1.0); print('ok')"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    if r.returncode == 0:
+        return True
+    busy_markers = ("already in use", "in use by", "resource busy",
+                    "device or resource busy", "already been initialized",
+                    "unavailable: no tpu", "libtpu is already in use")
+    err = (r.stderr or "").lower()
+    return any(m in err for m in busy_markers)
+
+
+def wait_for_device(deadline_s: float = 600.0, poll_s: float = 30.0) -> bool:
+    """Poll :func:`probe_device` until it answers or ``deadline_s`` passes.
+
+    The recovery half of crash-resilient training loops (see
+    ``examples/climate/neural_pde_data.py`` and ``bench.py``): after a
+    worker crash the device can stay unreachable for minutes, so callers
+    park here before re-dispatching instead of hanging on a dead client.
+    """
+    import time
+
+    deadline = time.time() + deadline_s
+    while True:
+        if probe_device():
+            return True
+        if time.time() >= deadline:
+            return False
+        time.sleep(poll_s)
 
 
 def enable_compilation_cache(path=None):
