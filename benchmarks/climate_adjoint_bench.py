@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu.models import climate_npde as cn
@@ -64,8 +65,15 @@ def compare_adjoints():
             return jax.jit(jax.value_and_grad(loss))
 
         grads = {}
-        for name, adj in (("interpolating", ude.InterpolatingAdjoint()),
-                          ("quadrature", ude.QuadratureAdjoint())):
+        adjoints = [("interpolating", ude.InterpolatingAdjoint()),
+                    ("quadrature", ude.QuadratureAdjoint())]
+        if hidden == 8:
+            # BacksolveAdjoint row at the reference width: re-integrating
+            # the state backward through κ∂²z is exponentially unstable
+            # (the reason npde_data.jl:82 pins backsolve=false) — the row
+            # documents by how much the gradient degrades, not a win
+            adjoints.append(("backsolve", ude.BacksolveAdjoint()))
+        for name, adj in adjoints:
             vg = make_vg(adj)
             lowered = vg.lower(params0)
             compiled = lowered.compile()
@@ -93,11 +101,16 @@ def compare_adjoints():
             print(json.dumps(rows[-1]))
         # relative L2 over the whole gradient vector: elementwise ratios on
         # the tail of ~1e5 near-zero entries only measure f32 noise
-        diff = grads["quadrature"] - grads["interpolating"]
-        rel = float(jnp.linalg.norm(diff)
-                    / (jnp.linalg.norm(grads["interpolating"]) + 1e-30))
-        print(json.dumps({"metric": f"climate_adjoint_{tag}_grad_agreement",
-                          "rel_l2": float(f"{rel:.3g}")}))
+        base = jnp.linalg.norm(grads["interpolating"]) + 1e-30
+        for other in grads:
+            if other == "interpolating":
+                continue
+            rel = float(jnp.linalg.norm(grads[other]
+                                        - grads["interpolating"]) / base)
+            print(json.dumps({
+                "metric": f"climate_adjoint_{tag}_{other}_grad_agreement",
+                "rel_l2": float(f"{rel:.3g}") if np.isfinite(rel) else "inf",
+            }))
     return rows
 
 
