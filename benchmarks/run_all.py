@@ -93,9 +93,52 @@ def row_climate_adjoint(quick):
     for _ in range(reps):
         l, g = vg(params0)
     jax.block_until_ready(l)
-    value = (time.perf_counter() - t0) / reps
+    wall = (time.perf_counter() - t0) / reps
+
+    # The per-dispatch wall above includes the tunnel round trip (~25-69 ms
+    # session drift, CLAUDE.md) — on a tunneled TPU it times the wire, not
+    # the adjoint.  The framework's actual cost is measured by chaining K
+    # loss+grad evals inside ONE device program and subtracting a null
+    # dispatch (the fenep_bench/pallas_rhs_bench pattern).  The reference's
+    # 0.879 s was measured locally (no tunnel), so the chained device time
+    # is the like-for-like number.
+    K = 5 if quick else 10
+    flat0, unravel = jax.flatten_util.ravel_pytree(params0)
+
+    @jax.jit
+    def chain_k(flat_p, u0_in):
+        def body(i, carry):
+            lsum, u0c = carry
+            l, g = jax.value_and_grad(
+                lambda p: loss_u0(p, u0c))(unravel(flat_p))
+            gsum = jax.flatten_util.ravel_pytree(g)[0].sum()
+            # re-seed the next eval's u0 with a numerically-null, compiler-
+            # opaque perturbation so XLA cannot CSE the K iterations
+            return lsum + l + 1e-30 * gsum, u0_in + 1e-36 * l
+        return jax.lax.fori_loop(0, K, body, (0.0, u0_in))[0]
+
+    def loss_u0(p, u0c):
+        sol = ude.solve(ude.ODEProblem(rhs, u0c, (0.0, 1.5), (p, D1, D2)),
+                        ude.Tsit5(), saveat=ts, rtol=1e-4, atol=1e-6,
+                        adjoint=ude.InterpolatingAdjoint(), max_steps=2048)
+        return jnp.sum((sol.ys - data) ** 2)
+
+    jax.block_until_ready(chain_k(flat0, u0))  # compile
+    null = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(null(flat0))
+    best_c, best_n = float("inf"), float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain_k(flat0, u0))
+        best_c = min(best_c, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(null(flat0))
+        best_n = min(best_n, time.perf_counter() - t0)
+    value = max(best_c - best_n, 1e-12) / K
     return dict(metric="climate_adjoint_loss_grad", value=round(value, 4),
-                unit="s", baseline=0.879, vs_baseline=round(0.879 / value, 1))
+                unit="s", baseline=0.879, vs_baseline=round(0.879 / value, 1),
+                extra=dict(wall_per_dispatch_s=round(wall, 4), chain=K,
+                           null_dispatch_s=round(best_n, 4)))
 
 
 def row_hjb(quick):

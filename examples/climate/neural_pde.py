@@ -102,6 +102,24 @@ def main(quick=False, plot=False):
     print(f"t=10 rollout with ROCK4: success={bool(long.success)}, "
           f"finite={bool(jnp.all(jnp.isfinite(long.ys)))}")
 
+    # first-order stabilized contrast (RKC1, the damped Chebyshev smoother):
+    # same trained flux, same tolerance — it must land on the same
+    # trajectory, and its accepted-step count shows why the reference runs
+    # ROCK4 (npde.jl:122): order 1 pays ~2× the steps already at rtol 1e-4
+    # (measured 177 vs 90 on the true flux), widening as tolerance tightens
+    rkc1 = ude.RKC1(stages=16, rho=float(eig) * 1.1)
+    long1 = ude.solve(
+        ude.ODEProblem(rhs, u0, (0.0, 10.0), (res.params, D1, D2)), rkc1,
+        saveat=jnp.linspace(0.0, 10.0, 30), rtol=1e-4, atol=1e-4,
+        adjoint=ude.NoAdjoint(), max_steps=8192,
+    )
+    dev1 = float(jnp.linalg.norm(long1.ys - long.ys)
+                 / jnp.linalg.norm(long.ys))
+    print(f"t=10 rollout with RKC1(s=16): success={bool(long1.success)}, "
+          f"dev vs ROCK4 = {dev1:.2e}, steps {int(long1.num_accepted)} "
+          f"vs ROCK4's {int(long.num_accepted)}")
+    assert bool(long1.success) and dev1 < 0.05
+
     if plot:
         # npde.jl figure analogues: learned flux vs Φ(u) over the visited
         # state range, and the stabilized long rollout as a z-t field

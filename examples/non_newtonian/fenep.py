@@ -72,11 +72,12 @@ def make_loss(f1, f0, ts, sigmas):
 def crosscheck_implicit_solvers(ts10, sigma_test):
     """Cross-validate the BDF DAE truth with the ESDIRK shelf: the index-1
     reduction of FENE-P (``models.fenep.fenep_stiff_rhs``) solved with
-    Kvaerno3 and SDIRK4 must reproduce the IDA-role τ12 (``FENEP.jl:35-39``).
+    Kvaerno3/SDIRK4/SDIRK3 must reproduce the IDA-role τ12 (``FENEP.jl:35-39``).
     """
     scale = float(jnp.max(jnp.abs(sigma_test)))
     for name, solver in (("Kvaerno3", ude.Kvaerno3()),
                          ("SDIRK4", ude.SDIRK4()),
+                         ("SDIRK3", ude.SDIRK3()),
                          ("Rosenbrock23", ude.Rosenbrock23())):
         s_ode, ok = fenep.find_sigma_exact_ode(
             ts10, lambda t: 12.0 * jnp.cos(1.5 * t), solver)

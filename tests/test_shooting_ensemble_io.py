@@ -212,6 +212,33 @@ def test_rkc2_order_two():
     assert order > 1.6
 
 
+def test_rkc1_stiff_diffusion_and_order_one():
+    # RKC1 (damped first-order Chebyshev): stable on the stiff diffusion
+    # column at dt far beyond explicit-RK limits, and exactly first order
+    from universal_differential_equations_tpu.core.integrate import integrate_fixed
+
+    D1, D2, eig = cn.getops(64, dtype=jnp.float64)
+    u0 = cn.get_u0(64, dtype=jnp.float64)
+    prob = ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.0), (D1, D2))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    sol = ude.solve(prob, ude.RKC1(stages=16, rho=float(eig) * 1.1), saveat=ts,
+                    rtol=1e-5, atol=1e-7, adjoint=ude.NoAdjoint(),
+                    max_steps=4096)
+    ref = ude.solve(prob, ude.Tsit5(), saveat=ts, rtol=1e-10, atol=1e-12,
+                    adjoint=ude.NoAdjoint(), max_steps=65536)
+    assert bool(sol.success) and bool(ref.success)
+    assert float(jnp.max(jnp.abs(sol.ys - ref.ys))) < 1e-3
+
+    f = lambda t, y, args: y * jnp.cos(t)
+    errs = []
+    for n in [20, 40, 80]:
+        _, ys = integrate_fixed(f, jnp.array([1.0]), 0.0, 3.0, None,
+                                ude.RKC1(stages=5), n)
+        errs.append(abs(float(ys[-1, 0]) - np.exp(np.sin(3.0))))
+    order = np.log2(errs[-2] / errs[-1])
+    assert 0.7 < order < 1.5  # genuinely first order, not accidentally higher
+
+
 def test_rock2_derivation_and_stiff_diffusion():
     # the genuine ROCK construction (Abdulle & Medovikov 2001), derived at
     # construction time: interval l_s ≈ 0.80·s² (vs RKC2's 0.653·s²), order
