@@ -378,12 +378,25 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
                 continue
             # pre-SR3-arm archive: recompute the chunk so both arms exist
         sl = slice(c0, min(c0 + CHUNK, n_runs))
+        # stage-wall breakdown on the first computed chunk (sync points cost
+        # nothing there and show where the per-recovery budget actually goes)
+        probe = not results
+        t_s = time.time()
         theta, data = adam_stage(keys[sl], noise_mags[sl])
+        if probe:
+            jax.block_until_ready(theta)
+            t_adam, t_s = time.time() - t_s, time.time()
         loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
         for _ in range(BFGS_ROUNDS):
             theta, loss = bfgs_round(theta, data)
+        if probe:
+            jax.block_until_ready(theta)
+            t_bfgs, t_s = time.time() - t_s, time.time()
         for _ in range(LM_ROUNDS):
             theta, loss = lm_round(theta, data)
+        if probe:
+            jax.block_until_ready(theta)
+            t_lm, t_s = time.time() - t_s, time.time()
         # the recovery stage carries ~2× the refit work per lane of a
         # training round, so it dispatches in smaller watchdog-safe slices
         mags_sl = noise_mags[sl]
@@ -396,6 +409,12 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
                     for i in range(len(parts[0])))
         results.append(rec + (loss,))
         jax.block_until_ready(results[-1][0])
+        if probe:
+            n_l = theta.shape[0]
+            print(f"  stage walls (chunk 0, {n_l} lanes, ms/lane): "
+                  f"adam {t_adam / n_l * 1e3:.0f}, bfgs {t_bfgs / n_l * 1e3:.0f}, "
+                  f"lm {t_lm / n_l * 1e3:.0f}, "
+                  f"recover {(time.time() - t_s) / n_l * 1e3:.0f}", flush=True)
         if archive:
             # archive=False callers (the benchmark harness) must not write
             # resume checkpoints a later real study would silently pick up
