@@ -66,8 +66,9 @@ BFGS_ROUNDS = 4
 BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
 LM_ROUNDS = 2
 CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
-RECOVER_CHUNK = 13  # recovery-stage lanes per dispatch: 10 refit finalists
-# × 50 BFGS iters ≈ 2× a training round's per-lane work, so half the lanes
+RECOVER_CHUNK = 25  # recovery-stage lanes per dispatch: the LM judge's
+# sequential depth (10 finalists × 12 parallel-Jacobian iters) is ~4× below
+# the old 50-iter BFGS judge, so a full training chunk fits the watchdog
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
 
 
@@ -321,16 +322,18 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         # truth.  k=2 refits exhaustively (all 4 size-1×size-1 combos):
         # the 1e-2 diagnostic showed the exact structure in-band but ranked
         # 3rd/4th pre-refit in every contains-but-not-exact lane.  Budget:
-        # 10 finalists × 50 BFGS iters per lane (watchdog-safe at
-        # RECOVER_CHUNK=13 lanes).
+        # 10 finalists × 12 LM iters per lane (the LM judge batches its
+        # Jacobian tangents in parallel, so it needs ~4x fewer *sequential*
+        # sims than the 50-iter BFGS judge it replaced — same selections,
+        # measured identical rates at 20/level).
         sizes_r = jnp.repeat(jnp.arange(1, K_SEL + 1), 2)
         C_sel, rel, _ = sd.select_by_simulation(
             [ladder(Yh[:, 0]), ladder(Yh[:, 1])], dense_rhs, data[0],
             0.0, t_end, data, ude.Tsit5(), n_step, sub=SUB,
-            rel_factor=1.5, max_rel=1.0, refit_iters=50,
+            rel_factor=1.5, max_rel=1.0, refit_iters=12,
             loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
             max_total_support=5, sizes=[sizes_r, sizes_r],
-            refit_top=(4, 2, 2, 2))
+            refit_top=(4, 2, 2, 2), refit_method="lm")
         act1 = C_sel[:, 0] != 0.0
         act2 = C_sel[:, 1] != 0.0
         want = jnp.zeros(m, bool).at[i_xy].set(True)
