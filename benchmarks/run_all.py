@@ -209,6 +209,9 @@ def main():
                     help="also write the rows to this JSON file (the "
                          "committed per-round artifact, e.g. "
                          "benchmarks/results_r02.json)")
+    ap.add_argument("--merge", action="store_true",
+                    help="with --out: update only the measured rows in an "
+                         "existing artifact instead of overwriting it")
     args = ap.parse_args()
     enable_compilation_cache()
     rows = [int(r) for r in args.rows.split(",")]
@@ -231,10 +234,18 @@ def main():
         print(f"| {r['metric']} | {r['value']} {r['unit']} | "
               f"{r['baseline']} | {r['vs_baseline']}x |")
     if args.out:
+        out = Path(args.out)
         payload = dict(platform=jax.devices()[0].platform,
                        device=str(jax.devices()[0]), rows=results)
-        Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
-        print(f"wrote {args.out}")
+        if args.merge and out.exists():
+            # refresh only the rows measured this run, keep the rest of the
+            # committed artifact (single-row reruns after a targeted change)
+            old = json.loads(out.read_text())
+            merged = {r["metric"]: r for r in old.get("rows", [])}
+            merged.update({r["metric"]: r for r in results})
+            payload["rows"] = list(merged.values())
+        out.write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
