@@ -20,11 +20,13 @@ Success metrics per noise level (``loop_evaluation.jl:30-35,102-130``):
 (Measured dead end, do not re-chase: at 5e-2 noise the x·y-found rate is
 init-dependent per draw, but neither pick-by-final-loss — the lowest-loss
 init can carry the *worst* interaction shape — nor ensemble-averaging the
-learned term across 3 inits beats a single init.  Training restarts do not
-help; what DID lift 5e-2 exact from 9% to 50% was the selection stage —
-per_size=2 ladders + exhaustive smallest-size refits, refit_top=(4,2,2,2) —
-because the pre-refit ranking, not the information content, was discarding
-the true structure.)
+learned term across 3 inits beats a single init.  Restarting lanes that
+PASS the fit gate does not help; what DID lift 5e-2 exact from 9% to 50%
+was the selection stage — per_size=2 ladders + exhaustive smallest-size
+refits, refit_top=(4,2,2,2) — because the pre-refit ranking, not the
+information content, was discarding the true structure.  Distinct from
+that: re-initing lanes that FAIL the fit gate (the restart pass below)
+rescues ~90% of them and lifted exact rates to 96/95/93/79/53%.)
 
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
@@ -245,9 +247,14 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
 
     @jax.jit
     @jax.vmap
-    def adam_stage(key, mag):
+    def adam_stage(key, mag, attempt):
         k_noise, k_init = jax.random.split(key)
         data = make_data(k_noise, mag)
+        # restart attempts re-draw ONLY the net init — the lane's noisy
+        # dataset (k_noise) is part of the run's identity and never changes;
+        # attempt 0 is bit-identical to the pre-restart study
+        k_init = jnp.where(attempt == 0, k_init,
+                           jax.random.fold_in(k_init, attempt))
         theta0 = jax.flatten_util.ravel_pytree(net.init(k_init))[0]
         opt = optax.adam(0.1)
 
@@ -358,6 +365,46 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         return (exact, contains, fit_ok, C_sel[:, 0], C_sel[:, 1],
                 exact_sr3, contains_sr3, C_sr3[:, 0], C_sr3[:, 1])
 
+    def pipeline(keys_c, mags_c, attempt=0, probe=False):
+        """One lane-chunk through the full train→recover pipeline; returns
+        the 10-tuple archived per chunk (rec fields + final loss)."""
+        t_s = time.time()
+        att = jnp.full((keys_c.shape[0],), attempt, jnp.int32)
+        theta, data = adam_stage(keys_c, mags_c, att)
+        if probe:
+            jax.block_until_ready(theta)
+            t_adam, t_s = time.time() - t_s, time.time()
+        loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
+        for _ in range(BFGS_ROUNDS):
+            theta, loss = bfgs_round(theta, data)
+        if probe:
+            jax.block_until_ready(theta)
+            t_bfgs, t_s = time.time() - t_s, time.time()
+        for _ in range(LM_ROUNDS):
+            theta, loss = lm_round(theta, data)
+        if probe:
+            jax.block_until_ready(theta)
+            t_lm, t_s = time.time() - t_s, time.time()
+        # the recovery stage carries more refit work per lane than a
+        # training round, so it can dispatch in watchdog-safe slices
+        parts = [recover_stage(theta[r0:r0 + RECOVER_CHUNK],
+                               data[r0:r0 + RECOVER_CHUNK],
+                               loss[r0:r0 + RECOVER_CHUNK],
+                               mags_c[r0:r0 + RECOVER_CHUNK])
+                 for r0 in range(0, theta.shape[0], RECOVER_CHUNK)]
+        rec = tuple(jnp.concatenate([p[i] for p in parts])
+                    for i in range(len(parts[0])))
+        if probe:
+            jax.block_until_ready(rec[0])
+            n_l = theta.shape[0]
+            print(f"  stage walls (chunk 0, {n_l} lanes, ms/lane): "
+                  f"adam {t_adam / n_l * 1e3:.0f}, "
+                  f"bfgs {t_bfgs / n_l * 1e3:.0f}, "
+                  f"lm {t_lm / n_l * 1e3:.0f}, "
+                  f"recover {(time.time() - t_s) / n_l * 1e3:.0f}",
+                  flush=True)
+        return rec + (loss,)
+
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
           f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
           f"BFGS rounds", flush=True)
@@ -383,52 +430,60 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         sl = slice(c0, min(c0 + CHUNK, n_runs))
         # stage-wall breakdown on the first computed chunk (sync points cost
         # nothing there and show where the per-recovery budget actually goes)
-        probe = not results
-        t_s = time.time()
-        theta, data = adam_stage(keys[sl], noise_mags[sl])
-        if probe:
-            jax.block_until_ready(theta)
-            t_adam, t_s = time.time() - t_s, time.time()
-        loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
-        for _ in range(BFGS_ROUNDS):
-            theta, loss = bfgs_round(theta, data)
-        if probe:
-            jax.block_until_ready(theta)
-            t_bfgs, t_s = time.time() - t_s, time.time()
-        for _ in range(LM_ROUNDS):
-            theta, loss = lm_round(theta, data)
-        if probe:
-            jax.block_until_ready(theta)
-            t_lm, t_s = time.time() - t_s, time.time()
-        # the recovery stage carries ~2× the refit work per lane of a
-        # training round, so it dispatches in smaller watchdog-safe slices
-        mags_sl = noise_mags[sl]
-        parts = [recover_stage(theta[r0:r0 + RECOVER_CHUNK],
-                               data[r0:r0 + RECOVER_CHUNK],
-                               loss[r0:r0 + RECOVER_CHUNK],
-                               mags_sl[r0:r0 + RECOVER_CHUNK])
-                 for r0 in range(0, theta.shape[0], RECOVER_CHUNK)]
-        rec = tuple(jnp.concatenate([p[i] for p in parts])
-                    for i in range(len(parts[0])))
-        results.append(rec + (loss,))
+        rec = pipeline(keys[sl], noise_mags[sl], probe=not results)
+        results.append(rec)
         jax.block_until_ready(results[-1][0])
-        if probe:
-            n_l = theta.shape[0]
-            print(f"  stage walls (chunk 0, {n_l} lanes, ms/lane): "
-                  f"adam {t_adam / n_l * 1e3:.0f}, bfgs {t_bfgs / n_l * 1e3:.0f}, "
-                  f"lm {t_lm / n_l * 1e3:.0f}, "
-                  f"recover {(time.time() - t_s) / n_l * 1e3:.0f}", flush=True)
         if archive:
             # archive=False callers (the benchmark harness) must not write
             # resume checkpoints a later real study would silently pick up
             arch.save(gname, **dict(zip(chunk_keys, results[-1])))
         print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
-    (exact, contains, fit_ok, c1, c2, exact_sr3, contains_sr3, c1_sr3,
-     c2_sr3, fin_loss) = [
+    fields = [
         np.concatenate([np.asarray(r[i]) for r in results])
         for i in range(len(chunk_keys))
-    ]  # c1/c2: (n_runs, m) full recovered coefficient vectors
+    ]  # coef1/coef2: (n_runs, m) full recovered coefficient vectors
+
+    # One deterministic re-init for lanes whose training missed the fit
+    # gate (the hudson_bay seed-ladder pattern, CLAUDE.md).  The reference's
+    # per-run try/catch (run_loops.jl:57-61) marks a run failed only after
+    # its error path has run; our lockstep lanes cannot throw, so a
+    # gate-failing lane gets ONE second init key — same noisy dataset —
+    # and counts failed only if both attempts miss the gate.
+    idx_fail = np.nonzero(~fields[2].astype(bool))[0]
+    if idx_fail.size:
+        gname = f"loop_restart_r{runs_per_level}"
+        parts2 = None
+        if resume and gname in arch:
+            g = arch.load(gname)
+            if ("idx" in g and np.array_equal(np.asarray(g["idx"]), idx_fail)
+                    and all(k in g for k in chunk_keys)):
+                parts2 = tuple(np.asarray(g[k]) for k in chunk_keys)
+                print(f"  restart pass resumed from {gname}", flush=True)
+        if parts2 is None:
+            # pad to the compiled CHUNK batch size so no new XLA program
+            # is built for the (dynamic-size) failed set
+            pad = (-idx_fail.size) % CHUNK
+            idx_p = np.concatenate(
+                [idx_fail, np.full(pad, idx_fail[0], idx_fail.dtype)])
+            outs = [pipeline(keys[jnp.asarray(idx_p[r0:r0 + CHUNK])],
+                             noise_mags[jnp.asarray(idx_p[r0:r0 + CHUNK])],
+                             attempt=1)
+                    for r0 in range(0, idx_p.size, CHUNK)]
+            parts2 = tuple(np.concatenate([np.asarray(o[i]) for o in outs])
+                           for i in range(len(chunk_keys)))
+            if archive:
+                arch.save(gname, idx=jnp.asarray(idx_fail),
+                          **dict(zip(chunk_keys, parts2)))
+        take = parts2[2].astype(bool)[:idx_fail.size]  # retrain passed gate
+        sel = idx_fail[take]
+        for f, p2 in zip(fields, parts2):
+            f[sel] = p2[:idx_fail.size][take]
+        print(f"  restart pass: {idx_fail.size} gate-failed lanes "
+              f"re-inited, {int(take.sum())} recovered", flush=True)
+
+    (exact, contains, fit_ok, c1, c2, exact_sr3, contains_sr3, c1_sr3,
+     c2_sr3, fin_loss) = fields
     wall = time.time() - t0
 
     exact = exact.reshape(n_levels, runs_per_level)
@@ -463,12 +518,15 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
                     fin_loss)
     # gates at the measured band minus a reproducibility margin (measured
-    # r2 full study: contains 89/85%, exact 89/85% at 1e-3/5e-3)
+    # r2 full study with the restart pass: contains 96/96%, exact 96/95%
+    # at 1e-3/5e-3); small runs keep a wider margin — at 4/level one
+    # flipped lane moves the average 12.5 points
+    gate_c, gate_e = (0.85, 0.85) if runs_per_level >= 20 else (0.75, 0.7)
     low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
-    assert low_noise_rate >= 0.75, \
+    assert low_noise_rate >= gate_c, \
         f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
     low_noise_exact = (exact[0].mean() + exact[1].mean()) / 2
-    assert low_noise_exact >= 0.7, \
+    assert low_noise_exact >= gate_e, \
         f"low-noise exact-structure rate too low: {low_noise_exact:.0%}"
     return dict(exact=exact.mean(axis=1).tolist(),
                 contains=contains.mean(axis=1).tolist(),
@@ -489,8 +547,9 @@ if __name__ == "__main__":
                          "loop_recoveries.jl append-mode behavior)")
     args = ap.parse_args()
     if args.fresh:
-        for p in (Path(__file__).parent / "results").glob("loop_chunk_*.npz"):
-            p.unlink()
+        for pat in ("loop_chunk_*.npz", "loop_restart_*.npz"):
+            for p in (Path(__file__).parent / "results").glob(pat):
+                p.unlink()
     if args.plot_only:
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
