@@ -66,6 +66,23 @@ def test_rayleigh_taylor_mixes_and_stays_bounded():
     assert z[0] < 0 < z[-1]
 
 
+def test_rayleigh_taylor_sharded_matches_single_device():
+    """Domain decomposition along x over the 8-device mesh: XLA's SPMD
+    partitioner supplies the stencil halos and the sharded-FFT transposes;
+    the saved b̄(z) profiles must match the single-device run to roundoff
+    accumulation."""
+    from jax.sharding import Mesh
+
+    kwargs = dict(N=(16, 2, 16), end_time=0.4, save_every=0.1, ni=5,
+                  key=jax.random.PRNGKey(1))
+    ts0, z0, b0 = rayleigh_taylor_3d(**kwargs)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    ts1, z1, b1 = rayleigh_taylor_3d(**kwargs, mesh=mesh)
+    np.testing.assert_allclose(ts1, ts0, rtol=1e-6)
+    # sharded reductions/FFTs reassociate float sums; bound the drift tight
+    np.testing.assert_allclose(b1, b0, atol=5e-5)
+
+
 def test_coarse_grain_block_average():
     x = np.arange(16.0)
     cg = np.asarray(coarse_grain(x, 4))

@@ -182,13 +182,22 @@ def _adv(f, u, v, w, dx):
     return out
 
 
-def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype):
+def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
+                mesh_axis: str = "x"):
     """Initial state + jitted ``ni``-step Heun/Leray chunk for the RT slab.
 
     Shared by :func:`rayleigh_taylor_3d` (the data generator's adaptive-CFL
     outer loop) and :func:`rt_step_seconds` (the step-time benchmark
     reproducing the reference's 7-10 ms/step progress lines,
-    ``Climate/DataGeneration/output.txt``)."""
+    ``Climate/DataGeneration/output.txt``).
+
+    With ``mesh`` the slab is domain-decomposed along its first (x) axis
+    across ``mesh_axis`` of a :class:`jax.sharding.Mesh` — the TPU-native
+    multi-chip story for the 3-D generator: the fields carry a
+    ``NamedSharding``, and XLA's SPMD partitioner inserts the halo
+    exchanges for the rolled stencils and the transpose collectives for
+    the sharded Leray FFT (no hand-written ppermute).  ``N[0]`` must be
+    divisible by the mesh-axis size."""
     Nx, Ny, Nz = N
     dx = (L[0] / Nx, L[1] / max(Ny, 1), L[2] / Nz)
     x = -L[0] / 2 + (jnp.arange(Nx, dtype=dtype) + 0.5) * dx[0]
@@ -215,8 +224,7 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype):
     kz = _wavenumbers(Nz, L[2]).astype(dtype)[None, None, :] * jnp.ones(
         (Nx, Ny, 1), dtype)
 
-    @jax.jit
-    def chunk(state, dt):
+    def chunk_fn(state, dt):
         def step(state, _):
             u, v, w, b = state
 
@@ -246,7 +254,21 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype):
                                        jnp.max(jnp.abs(w))))
         return state, umax
 
-    return (u, v, w, b), z, chunk, dx
+    state = (u, v, w, b)
+    if mesh is None:
+        chunk = jax.jit(chunk_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert Nx % mesh.shape[mesh_axis] == 0, (
+            f"Nx={Nx} not divisible by mesh axis '{mesh_axis}' size "
+            f"{mesh.shape[mesh_axis]}")
+        sh = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+        state = jax.device_put(state, (sh,) * 4)
+        chunk = jax.jit(chunk_fn, in_shardings=((sh,) * 4, rep),
+                        out_shardings=((sh,) * 4, rep))
+    return state, z, chunk, dx
 
 
 def rt_step_seconds(
@@ -283,6 +305,8 @@ def rayleigh_taylor_3d(
     ni: int = 10,
     key=None,
     dtype=jnp.float32,
+    mesh=None,
+    mesh_axis: str = "x",
 ):
     """Buoyancy-driven RT mixing; returns (save_ts, z, b_profiles (T, Nz)).
 
@@ -290,8 +314,11 @@ def rayleigh_taylor_3d(
     resolution on the centered domain (−L/2, L/2): interface
     ``0.05·sin(6πx)`` with b=+1 below / −1 above (``:39-43``), ν=κ=1e-4
     (``:18-19``), horizontal b̄(z) averages on the save grid (``:60-76``).
+    ``mesh`` domain-decomposes the slab along x across the mesh axis
+    (see :func:`_rt_stepper`); the saved b̄(z) profiles are identical.
     """
-    state, z, chunk, dx = _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype)
+    state, z, chunk, dx = _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype,
+                                      mesh=mesh, mesh_axis=mesh_axis)
     Ny = N[1]
     min_dx = min(dx[0], dx[2]) if Ny <= 4 else min(dx)
     # buoyancy free-fall CFL: velocities reach ~sqrt(b·Δx) within a cell
