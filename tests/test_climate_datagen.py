@@ -66,6 +66,20 @@ def test_rayleigh_taylor_mixes_and_stays_bounded():
     assert z[0] < 0 < z[-1]
 
 
+def test_advection_diffusion_sharded_matches_single_device():
+    """Same SPMD recipe on the forced-tracer generator (roll halos only,
+    no FFT): sharded profiles match single-device."""
+    from jax.sharding import Mesh
+
+    kwargs = dict(N=16, end_time=0.05, save_every=0.01, ni=5,
+                  key=jax.random.PRNGKey(0))
+    ts0, p0 = advection_diffusion_3d(**kwargs)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    ts1, p1 = advection_diffusion_3d(**kwargs, mesh=mesh)
+    np.testing.assert_allclose(ts1, ts0, rtol=1e-6)
+    np.testing.assert_allclose(p1, p0, atol=5e-6)
+
+
 def test_rayleigh_taylor_sharded_matches_single_device():
     """Domain decomposition along x over the 8-device mesh: XLA's SPMD
     partitioner supplies the stencil halos and the sharded-FFT transposes;

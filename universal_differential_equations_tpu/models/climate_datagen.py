@@ -95,8 +95,16 @@ def advection_diffusion_3d(
     ni: int = 20,
     key=None,
     dtype=jnp.float32,
+    mesh=None,
+    mesh_axis: str = "x",
 ):
-    """Forced diffusion tracer run; returns (save_ts, c_profiles (T, N))."""
+    """Forced diffusion tracer run; returns (save_ts, c_profiles (T, N)).
+
+    ``mesh`` domain-decomposes the 128³-class tracer grid along its first
+    axis over ``mesh_axis`` (same SPMD recipe as :func:`_rt_stepper`: the
+    field carries a ``NamedSharding`` and XLA supplies the roll halos —
+    this is the largest grid in the pipeline, so it is where multi-chip
+    scaling actually pays)."""
     dx = (L / N,) * 3
     z = (jnp.arange(N, dtype=dtype) + 0.5) * dx[2]
     c = jnp.exp(-200.0 * (z - 0.75) ** 2)[None, None, :] * jnp.ones(
@@ -109,8 +117,7 @@ def advection_diffusion_3d(
         F = jnp.cos(jnp.sin(c**3)) + jnp.sin(jnp.cos(c**2))
         return kappa * _lap_neumann_z(c, dx) + F
 
-    @jax.jit
-    def chunk(c, dt):
+    def chunk_fn(c, dt):
         def step(c, _):
             # RK2 (Heun) — forcing is smooth, diffusion bounds dt
             k1 = rhs(c)
@@ -119,6 +126,20 @@ def advection_diffusion_3d(
 
         c, _ = jax.lax.scan(step, c, None, length=ni)
         return c, jnp.max(jnp.abs(rhs(c)))
+
+    if mesh is None:
+        chunk = jax.jit(chunk_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert N % mesh.shape[mesh_axis] == 0, (
+            f"N={N} not divisible by mesh axis '{mesh_axis}' size "
+            f"{mesh.shape[mesh_axis]}")
+        sh = NamedSharding(mesh, PartitionSpec(mesh_axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+        c = jax.device_put(c, sh)
+        chunk = jax.jit(chunk_fn, in_shardings=(sh, rep),
+                        out_shardings=(sh, rep))
 
     # stability-limited dt wizard: diffusive limit + forcing-CFL analogue.
     # The save-cadence cap mirrors rayleigh_taylor_3d: one save per chunk,
