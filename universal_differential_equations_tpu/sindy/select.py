@@ -393,10 +393,10 @@ def select_by_simulation(
             sum(jnp.max(jnp.asarray(s)) for s in sizes) if sizes is not None
             else sum(c[0].shape[0] for c in candidates))
         k_sizes = list(range(T, k_max + 1))
-        tops = ([int(refit_top)] * len(k_sizes)
-                if jnp.ndim(refit_top) == 0 and not isinstance(
-                    refit_top, (list, tuple))
-                else [int(x) for x in refit_top])
+        tops = ([int(x) for x in refit_top]
+                if isinstance(refit_top, (list, tuple))
+                or jnp.ndim(refit_top) > 0
+                else [int(refit_top)] * len(k_sizes))
         assert len(tops) == len(k_sizes), (
             f"refit_top sequence needs one entry per total size "
             f"{k_sizes}, got {tops}")
@@ -442,6 +442,9 @@ def select_by_simulation(
                                     solver, n_steps)
             return (ys[::sub] - data).ravel()
 
+        def jac(x):
+            return jax.jacfwd(r_flat)(x) * mflat[None, :]
+
         x0 = C0.ravel()
         r0 = r_flat(x0)
         loss0 = jnp.sum(r0 * r0)
@@ -450,8 +453,13 @@ def select_by_simulation(
         inert = jnp.diag(1.0 - mflat)
 
         def body(s, _):
-            x, r, lv, lam = s
-            J = jax.jacfwd(r_flat)(x) * mflat[None, :]
+            # J is carried and refreshed only after an accepted step: a
+            # rejected iteration leaves x unchanged, so recomputing the
+            # Jacobian there would reproduce the carried one bit-for-bit
+            # while paying the full tangent-batch cost (under vmap the cond
+            # is a select and the saving vanishes, but the unbatched path
+            # skips the jacfwd on rejections).
+            x, r, J, lv, lam = s
             g = J.T @ r
             H = J.T @ J
             A = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-10)) + inert
@@ -460,11 +468,12 @@ def select_by_simulation(
             l_new = jnp.sum(r_new * r_new)
             acc = (l_new < lv) & jnp.all(jnp.isfinite(r_new))
             lam = jnp.clip(jnp.where(acc, lam * 0.3, lam * 3.0), 1e-10, 1e10)
+            J_next = jax.lax.cond(acc, jac, lambda _x: J, x_new)
             return (jnp.where(acc, x_new, x), jnp.where(acc, r_new, r),
-                    jnp.where(acc, l_new, lv), lam), None
+                    J_next, jnp.where(acc, l_new, lv), lam), None
 
-        (x, _, lv, _), _ = jax.lax.scan(
-            body, (x0, r0, loss0, jnp.asarray(1e-3, x0.dtype)), None,
+        (x, _, _, lv, _), _ = jax.lax.scan(
+            body, (x0, r0, jac(x0), loss0, jnp.asarray(1e-3, x0.dtype)), None,
             length=refit_iters)
         val = jnp.where(jnp.isfinite(lv), lv / n_res, jnp.inf)
         return val, x.reshape(C0.shape) * mask

@@ -193,7 +193,14 @@ def _bfgs_core(fun, maxiters, initial_stepnorm, allow_f_increases,
     n = x0_flat.shape[0]
     dtype = x0_flat.dtype
 
-    fg = jax.value_and_grad(lambda x: fun(unravel(x)))
+    _vg = jax.value_and_grad(lambda x: fun(unravel(x)))
+
+    def fg(x):
+        # pin the loss value to the parameter dtype: with x64 enabled an f32
+        # model's loss can promote to f64 through Python time scalars, and a
+        # mixed-dtype line-search state fails lax.cond's type check
+        f, g = _vg(x.astype(dtype))
+        return f.astype(dtype), g
 
     f0, g0 = fg(x0_flat)
     eye = jnp.eye(n, dtype=dtype)

@@ -82,7 +82,10 @@ def _lm_core(
     dtype = x0.dtype
 
     def r_flat(x):
-        return ravel_pytree(residual_fn(unravel(x)))[0]
+        # pin residuals to the parameter dtype: with x64 enabled an f32
+        # model's residuals can promote to f64 through Python time scalars,
+        # and a mixed-dtype carry fails the while_loop type check
+        return ravel_pytree(residual_fn(unravel(x.astype(dtype))))[0].astype(dtype)
 
     r0 = r_flat(x0)
     loss0 = jnp.sum(r0 * r0)
