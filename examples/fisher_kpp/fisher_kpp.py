@@ -6,7 +6,14 @@ truth on a periodic 26-point line, learned pointwise-reaction network plus a
 reference's early exit at loss < 0.01, and the wall-clock study the reference
 embeds in comments (BASELINE.md: Fourier ≈236.8 s, small-MLP ≈2508 s on CPU).
 
-Run: python examples/fisher_kpp/fisher_kpp.py [--variant mlp|small|fourier]
+Variants cover the reference's full wall-clock study matrix: Fourier reaction
+bases with 3/5/7 parameters (``Fisher-KPP-CNN-Fourier.jl:305-395``) and small
+reaction MLPs for the 15/7/4-parameter rows
+(``Fisher-KPP-CNN-Small.jl:311-391``).  The 4-parameter row is the honest
+one: the reference never converges there (loss 0.22-0.44 after 2211-5764 s).
+
+Run: python examples/fisher_kpp/fisher_kpp.py
+     [--variant mlp|small|small7|small4|fourier|fourier5|fourier7]
      [--runs N] [--quick]
 """
 import argparse
@@ -32,7 +39,20 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 
-BASELINES = {"fourier": 236.8, "small": 2508.0, "mlp": None}
+# Reference CPU wall-clock means (5 runs each, committed in source comments;
+# BASELINE.md).  "small" is the committed n_weights=3 architecture = the
+# study's "15 parameters" row (it counts the full p vector: 10 reaction +
+# 4 conv + 1 D0); small7/small4 are the n_weights=2/1 rows counted by their
+# reaction nets (3w+1).  small4 has no baseline: the reference never
+# converges there.
+BASELINES = {"fourier": 236.8, "fourier5": 248.2, "fourier7": 250.6,
+             "small": 1963.4, "small7": 2508.0, "small4": None, "mlp": None}
+# reference final-loss band where convergence FAILED
+#   (Fisher-KPP-CNN-Small.jl:370-390: 0.2225-0.4370 after 2211-5764 s) —
+# the [1,1,1] tanh reaction cannot represent the logistic bump, so the
+# floor is architectural, not an optimizer artifact
+SMALL4_REFERENCE_FLOOR = 0.2225  # their best run
+SMALL4_REFERENCE_WORST = 0.4370  # their worst run
 
 
 _CLOSURES = {}
@@ -78,7 +98,7 @@ def train_once(seed, variant, ts, data, quick=False, dashboard=None):
 
     t0 = time.time()
     params = params0
-    if variant != "fourier":
+    if not variant.startswith("fourier"):
         # MLP reactions are nonlinear in their parameters: ADAM first to
         # reach a Gauss-Newton basin (the reference's small-MLP runs at times
         # never converge at all — Fisher-KPP-CNN-Small.jl:370-390)
@@ -168,9 +188,30 @@ def main(variant="fourier", runs=1, quick=False, plot=False):
         walls.append(wall)
         losses.append(final)
         w = np.asarray(params["w"])
+        d_eff = float(params["D0"]) * (w[0] + w[2]) / 2 * fk.DX**2
         print(f"run {run}: loss {final:.4f} in {wall:.1f}s | stencil {w} "
-              f"(sum {w.sum():+.2e}) D0·w≈D/dx²? "
-              f"{float(params['D0'])*w[0]*fk.DX**2:.4f} vs {fk.D_TRUE}")
+              f"(sum {w.sum():+.2e}) D0·w≈D/dx²? {d_eff:.4f} vs {fk.D_TRUE}")
+        if variant == "small4":
+            # the reference's 4-param row never converges (loss 0.22-0.44
+            # after 2211-5764 s); per run the honest claim is "inside the
+            # reference's non-convergent band, orders of magnitude faster" —
+            # seed-to-seed the architectural floor varies across that band
+            # exactly like the reference's five runs did
+            assert final < SMALL4_REFERENCE_WORST * 1.05, (
+                f"run {run}: loss {final} above the reference's "
+                f"non-convergent band top {SMALL4_REFERENCE_WORST}")
+        else:
+            # the reference's exit criterion, every run, both budgets
+            # (Fisher-KPP-CNN-Fourier.jl:225: callback exits at l < 0.01)
+            assert final < 0.01, (
+                f"run {run}: loss {final} missed the reference's "
+                f"convergence criterion 0.01")
+            # the learned stencil must be the zero-sum diffusion operator
+            # with D0·w·dx² near the true D (the reference's printed check:
+            # D0≈5.8, w≈[1.15,-2.30,1.15] → 0.0106 vs D=0.01)
+            assert abs(w.sum()) < 1e-2, f"run {run}: stencil sum {w.sum()}"
+            assert abs(d_eff - fk.D_TRUE) < 0.35 * fk.D_TRUE, (
+                f"run {run}: effective diffusion {d_eff} far from {fk.D_TRUE}")
     print(f"variant={variant}: mean wall {np.mean(walls):.1f}s ± {np.std(walls):.1f} "
           f"over {runs} runs; reference CPU baseline: {BASELINES.get(variant)}s")
     if BASELINES.get(variant):
@@ -183,7 +224,8 @@ def main(variant="fourier", runs=1, quick=False, plot=False):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="fourier",
-                    choices=["mlp", "small", "fourier"])
+                    choices=["mlp", "small", "small7", "small4",
+                             "fourier", "fourier5", "fourier7"])
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--plot", action="store_true",

@@ -116,3 +116,50 @@ def test_device_probe_helpers():
     t0 = time.time()
     assert wait_for_device(deadline_s=180.0, poll_s=5.0)
     assert time.time() - t0 < 150.0
+
+
+def test_model_rhs_fused_dispatch_matches_xla():
+    # VERDICT r2 item 8: the fused Pallas path must be a *product* feature —
+    # the actual Fisher-KPP model RHS dispatches to it on qualifying grids
+    # (N % 1024 == 0, TPU backend; forced here via the interpret hook) and
+    # agrees with the XLA lowering of the same model.
+    from universal_differential_equations_tpu.models import fisher_kpp as fk
+
+    key = jax.random.PRNGKey(4)
+    rhs, params = fk.make_model(key, "mlp", dtype=jnp.float32)
+    u_big = jax.random.uniform(key, (1024,), jnp.float32)
+    u_small = jax.random.uniform(key, (26,), jnp.float32)
+
+    assert fk._use_fused(u_big) is False  # CPU backend: XLA path
+    ref_big = rhs(0.0, u_big, params)
+    ref_small = rhs(0.0, u_small, params)
+
+    fk._FUSED_INTERPRET = True
+    try:
+        assert fk._use_fused(u_big) is True
+        assert fk._use_fused(u_small) is False  # 26 stays on the XLA path
+        out_big = rhs(0.0, u_big, params)
+        out_small = rhs(0.0, u_small, params)
+    finally:
+        fk._FUSED_INTERPRET = False
+
+    np.testing.assert_allclose(np.asarray(out_big), np.asarray(ref_big),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out_small),
+                                  np.asarray(ref_small))
+
+
+def test_fisher_kpp_variant_matrix_param_counts():
+    # the study variants must carry exactly the reference rows' parameter
+    # counts (Fisher-KPP-CNN-Small.jl:311-391, -Fourier.jl:305-395):
+    # reaction params 3w+1 for MLPs, n for the spectral basis
+    from universal_differential_equations_tpu.models import fisher_kpp as fk
+
+    expected_rx = {"small": 10, "small7": 7, "small4": 4,
+                   "fourier": 3, "fourier5": 5, "fourier7": 7, "mlp": 461}
+    for variant, n_rx in expected_rx.items():
+        rhs, params = fk.make_model(jax.random.PRNGKey(0), variant)
+        flat, _ = jax.flatten_util.ravel_pytree(params["rx"])
+        assert flat.size == n_rx, (variant, flat.size)
+        out = rhs(0.0, jnp.linspace(0.1, 0.9, 26), params)
+        assert out.shape == (26,) and bool(jnp.all(jnp.isfinite(out)))

@@ -73,34 +73,55 @@ def generate_data(rtol=1e-8, atol=1e-10, dtype=jnp.float32):
     return ts, sol.ys
 
 
+# Reaction-MLP widths for the reference's wall-clock study
+# (Fisher-KPP-CNN-Small.jl:88-94 with n_weights ∈ {3, 2, 1}; the study rows
+# at :311-391 are labeled by parameter count — "15" counts the full p vector
+# of the n_weights=3 run (10 reaction + 4 conv + 1 D0), "7"/"4" count the
+# n_weights=2/1 reaction nets (3w+1 params)).
+_MLP_VARIANTS = {
+    "mlp": [1, 10, 20, 10, 1],  # the paper version (Fisher-KPP-CNN.jl:92-96)
+    "small": [1, 3, 1],    # the "15 parameters" study row
+    "small7": [1, 2, 1],   # the "7 parameters" study row
+    "small4": [1, 1, 1],   # the "4 parameters" row — reference never converges
+}
+_FOURIER_VARIANTS = {"fourier": 3, "fourier5": 5, "fourier7": 7}
+
+
 def make_model(key, variant: str = "mlp", dtype=jnp.float32):
     """Learnable reaction + stencil model (``nn_ode``).
 
-    variant: 'mlp' (1→10→20→10→1), 'small' (1→3→1), 'fourier'
-    (TensorLayer(FourierBasis(3)) on u/π).  Returns ``(rhs, params0)`` with
-    params = {"rx": reaction params, "w": 3-tap stencil, "D0": scalar}.
+    variant: 'mlp' (1→10→20→10→1), 'small'/'small7'/'small4' (1→w→1 with
+    w = 3/2/1 — the reference study's 15/7/4-parameter rows,
+    ``Fisher-KPP-CNN-Small.jl:311-391``), 'fourier'/'fourier5'/'fourier7'
+    (n-term spectral reaction basis — the ``TensorLayer([FourierBasis(n)],1)``
+    rows, ``Fisher-KPP-CNN-Fourier.jl:305-395``).  Returns ``(rhs, params0)``
+    with params = {"rx": reaction params, "w": 3-tap stencil, "D0": scalar}.
     The stencil starts at the reference's [1.1, -2.5, 1.0], D0 at 6.5
     (``Fisher-KPP-CNN.jl:98-107``); the physical diffusion is
     ``D0·w/dx²``-free — the model learns D·lap as D0·(w⋆u).
+
+    On grids with ``N % 1024 == 0`` the MLP variants' RHS dispatches to the
+    fused Pallas reaction+stencil kernel (:mod:`..ops.pallas_stencil`) when
+    running on a TPU backend — one VMEM-resident pass instead of an HBM
+    round-trip per layer; the XLA path is the fallback everywhere else and
+    the two agree to f32 rounding (tested in ``test_ops_misc.py``).
     """
-    if variant == "mlp":
-        rx = MLP([1, 10, 20, 10, 1], activation="tanh")
+    mlp_rx = None
+    if variant in _MLP_VARIANTS:
+        rx = mlp_rx = MLP(_MLP_VARIANTS[variant], activation="tanh")
         rx_params = rx.init(key, dtype)
         apply_rx = lambda p, u: rx.apply(p, u[:, None])[:, 0]
-    elif variant == "small":
-        rx = MLP([1, 3, 1], activation="tanh")
-        rx_params = rx.init(key, dtype)
-        apply_rx = lambda p, u: rx.apply(p, u[:, None])[:, 0]
-    elif variant == "fourier":
-        # {1, sin(u), cos(u)} on the raw state: this 3-term basis fits the
+    elif variant in _FOURIER_VARIANTS:
+        # {1, sin(k·u), cos(k·u)} on the raw state: the 3-term basis fits the
         # logistic reaction to ~1e-3 with O(1) coefficients.  The reference's
         # u/π input scaling makes the ideal coefficients ±2π² and mutually
         # canceling — a narrow optimization valley ADAM cannot traverse
         # (measured: loss floors at ~0.9 despite an ideal-parameter loss of
-        # 5e-6).  Input scaling is a free design choice; parameter count (3)
-        # matches the reference's benchmark row.
-        basis = FourierBasis(3, include_constant=True)
-        rx_params = {"w": 0.01 * jax.random.normal(key, (1, 3), dtype)}
+        # 5e-6).  Input scaling is a free design choice; parameter counts
+        # (3/5/7) match the reference's benchmark rows.
+        n = _FOURIER_VARIANTS[variant]
+        basis = FourierBasis(n, include_constant=True)
+        rx_params = {"w": 0.01 * jax.random.normal(key, (1, n), dtype)}
         apply_rx = lambda p, u: (basis(u) @ p["w"][0])
     else:
         raise ValueError(f"unknown variant {variant!r}")
@@ -112,11 +133,35 @@ def make_model(key, variant: str = "mlp", dtype=jnp.float32):
     }
 
     def rhs(t, u, params):
+        if mlp_rx is not None and _use_fused(u):
+            from ..ops.pallas_stencil import fused_updet_rhs
+
+            return fused_updet_rhs(
+                u, params["w"], params["D0"],
+                mlp_rx.as_matmul_params(params["rx"]),
+                interpret=_FUSED_INTERPRET)
         w = params["w"]
         conv = w[0] * jnp.roll(u, 1) + w[1] * u + w[2] * jnp.roll(u, -1)
         return apply_rx(params["rx"], u) + params["D0"] * conv
 
     return rhs, params0
+
+
+# test hook: force the fused path in Pallas interpret mode on CPU
+_FUSED_INTERPRET = False
+
+
+def _use_fused(u) -> bool:
+    """Fused-kernel dispatch predicate: qualifying grid on a TPU backend.
+
+    ``u.shape`` is static under trace, so this is a Python-level branch —
+    the compiled program contains exactly one of the two paths.
+    """
+    if u.ndim != 1 or u.shape[0] % 1024 != 0:
+        return False
+    if _FUSED_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def zero_sum_penalty(params, weight: float = 100.0):

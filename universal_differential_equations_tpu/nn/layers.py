@@ -121,6 +121,20 @@ class Chain:
 
         return apply_flat
 
+    def as_matmul_params(self, params):
+        """Dense-chain params as a ``[(w, b), ...]`` list of (h_in, h_out)
+        matmul weights — the layout consumed by the fused Pallas RHS kernel
+        (:func:`..ops.pallas_stencil.fused_updet_rhs`, which hard-codes the
+        tanh hidden activation this chain must be using)."""
+        out = []
+        for layer, p in zip(self.layers, params):
+            assert isinstance(layer, Dense), "matmul view needs a Dense chain"
+            b = p.get("b")
+            if b is None:
+                b = jnp.zeros((layer.out_size,), p["w"].dtype)
+            out.append((p["w"].T, b))
+        return out
+
 
 def MLP(sizes: Sequence[int], activation="rbf", final_activation="identity"):
     """Multi-layer perceptron, e.g. ``MLP([2, 5, 5, 5, 2])`` is the
