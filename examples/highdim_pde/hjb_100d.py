@@ -30,7 +30,17 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main(quick=False, plot=False, adaptive=False):
+def main(quick=False, plot=False, adaptive=False, mesh="auto"):
+    if mesh == "auto":
+        # trajectory batching is the distributed axis (SURVEY.md §2.4): on a
+        # multi-chip host the m=100 Brownian paths shard over the chips with
+        # no code change — XLA inserts the gradient psum over ICI.  The mesh
+        # is the largest device prefix that divides m=100 (lambaem.jl:10).
+        from universal_differential_equations_tpu.parallel import ensemble_mesh
+
+        n_dev = len(jax.devices())
+        n_mesh = max(k for k in range(1, n_dev + 1) if 100 % k == 0)
+        mesh = ensemble_mesh(n_mesh) if n_mesh > 1 else None
     d = 100
     lam = 1.0
     x0 = jnp.zeros(d, jnp.float32)
@@ -48,9 +58,12 @@ def main(quick=False, plot=False, adaptive=False):
         grad_net=MLP([d + 1, hls, hls, hls, d], activation="relu"),
     )
 
+    if mesh is not None:
+        print(f"sharding {100} trajectories over a {mesh.size}-device "
+              f"'{mesh.axis_names[0]}' mesh")
     t0 = time.time()
     res = solve_terminal_pde(
-        prob, alg, jax.random.PRNGKey(0), trajectories=100,
+        prob, alg, jax.random.PRNGKey(0), trajectories=100, mesh=mesh,
         n_steps=20 if quick else 50,
         maxiters=1400 if quick else 2500,  # 600 stalls at u0~2.3; 1400 → rel 0.003
         learning_rate=0.03, pabstol=1e-2, verbose=True,
@@ -101,5 +114,9 @@ if __name__ == "__main__":
     ap.add_argument("--adaptive", action="store_true",
                     help="error-controlled time grid (the LambaEM role): "
                          "AdaptiveEM pilot + pinned-grid refinement")
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="disable the automatic multi-device trajectory "
+                         "sharding (single-device vmap only)")
     _a = ap.parse_args()
-    main(quick=_a.quick, plot=_a.plot, adaptive=_a.adaptive)
+    main(quick=_a.quick, plot=_a.plot, adaptive=_a.adaptive,
+         mesh=None if _a.no_mesh else "auto")

@@ -56,17 +56,21 @@ enable_compilation_cache()
 NOISE_LEVELS = (1e-3, 5e-3, 1e-2, 2.5e-2, 5e-2)  # run_loops.jl:40-46
 LAMS = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.2))
 # the reference protocol's SR3 sweep grid, exp10.(-7:0.1:7)
-# (loop_recoveries.jl:102) — used by the SR3→STRRidge comparison arm
+# (loop_recoveries.jl:102) — used by the SR3→STRRidge comparison arms.
+# BOTH denoise settings run on every lane: denoise=true is the protocol as
+# published (loop_recoveries.jl:107, SVHT shrinkage on Θ), denoise=false is
+# the fairer reading on this 31-sample window (the median rule clips most
+# of the spectrum) — the archive and README report both.
 LAMS_SR3 = tuple(10.0 ** e for e in np.arange(-7.0, 7.01, 0.1))
-# denoise=true applies SVHT shrinkage; on a 31-sample Θ the median rule
-# clips most of the spectrum, so the arm is run with it off by default
-# (the fairer reading of the protocol on this window) — flip to compare
-SR3_DENOISE = False
 BASIS = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
 I_XY = BASIS.names.index("u1*u2")
 BFGS_ROUNDS = 4
 BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
 LM_ROUNDS = 2
+K_SEL = 5  # parsimony-ladder rungs (support sizes 1..K_SEL) per equation
+MAX_TOTAL_SUPPORT = 5
+REFIT_ITERS = 12
+REFIT_TOP = (4, 2, 2, 2)  # exhaustive smallest-size refits, top-2 above
 CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
 RECOVER_CHUNK = 25  # recovery-stage lanes per dispatch: the LM judge's
 # sequential depth (10 finalists × 12 parallel-Jacobian iters) is ~4× below
@@ -74,7 +78,8 @@ RECOVER_CHUNK = 25  # recovery-stage lanes per dispatch: the LM judge's
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
 
 
-def write_plots(exact, contains, c1, c2, noise, final_loss=None):
+def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
+                aicc=None):
     """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
     bars (:120-126) and the recovered-coefficient spread vs the true values
     (re-plottable from the archive without retraining, like Plotfigs.jl)."""
@@ -142,6 +147,39 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
         ax.set_ylabel("final training loss")
         ax.set_title("per-run final losses (bar = median)")
         viz.save(fig, outdir / "loop_losses.pdf")
+
+    if err is not None and aicc is not None:
+        # loop_evaluation.jl:37-61 analogue (get_error/get_aicc): per-run
+        # recovered-model L2 regression error and AICc distributions per
+        # noise level (2-norm over the two equations, like collect_results)
+        fig, axes = viz.plt.subplots(1, 2, figsize=(7.6, 3.2))
+        rng3 = np.random.default_rng(2)
+        for ax2, vals_all, label, logy in (
+                (axes[0], np.asarray(err), "recovered-model L2 error", True),
+                (axes[1], np.asarray(aicc), "recovered-model AICc", False)):
+            viz.style_axes(ax2)
+            va = vals_all.reshape(n_levels, per)
+            for lvl in range(n_levels):
+                vals = va[lvl]
+                keep = np.isfinite(vals)
+                xj = lvl + rng3.uniform(-0.16, 0.16, keep.sum())
+                ax2.scatter(xj, np.clip(vals[keep], 1e-12, None) if logy
+                            else vals[keep], s=7, color=viz.SERIES[0],
+                            alpha=0.45, edgecolors="none")
+                if keep.any():
+                    med = np.median(vals[keep])
+                    ax2.plot([lvl - 0.25, lvl + 0.25], [med, med],
+                             color=viz.SERIES[1], linewidth=1.6, zorder=4)
+            if logy:
+                ax2.set_yscale("log")
+            ax2.set_xticks(range(n_levels))
+            ax2.set_xticklabels([f"{m:g}" for m in noise])
+            ax2.set_xlabel("noise magnitude")
+            ax2.set_title(label, fontsize=9)
+        fig.suptitle("per-run error metrics of the selected models "
+                     "(bar = median)", fontsize=10)
+        fig.tight_layout()
+        viz.save(fig, outdir / "loop_err_aicc.pdf")
 
     if c1.ndim == 2 and c1.shape[1] == len(BASIS):
         # loop_evaluation.jl:37-61 sparsity extraction (get_sparsity):
@@ -213,14 +251,36 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None):
     print(f"plots written to {outdir}")
 
 
-def main(runs_per_level=100, plot=False, resume=True, archive=True):
-    n_levels = len(NOISE_LEVELS)
-    n_runs = n_levels * runs_per_level
+def build_stages(mesh=None):
+    """Construct the staged lane programs (train → judge → SR3 arms).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` (e.g.
+    ``parallel.ensemble_mesh()``).  Lane chunks are sharded over the mesh's
+    first axis (runs are independent, so there are no collectives — XLA
+    simply places ``lanes / mesh.size`` lanes per device); parameters and
+    results stay per-lane.  NOTE the partitioned program is a *different
+    XLA program* than the single-device vmap one: per-lane f32 rounding can
+    differ, and the reduced-budget training stages sit on marginal BFGS
+    basins where that flips outcomes (CLAUDE.md) — the deterministic
+    recovery stage is placement-invariant (measured: identical selections,
+    coefficients to 1 ulp), asserted in ``tests/test_distributed.py``.  This is SURVEY.md §2.4's one warranted
+    distributed capability — ensemble data parallelism — on the product
+    surface (run_loops.jl:55-62's loop).
+
+    Returns a namespace with the jitted stages, ``pipeline``, and the
+    study's shared data/constants.
+    """
+    import types
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        lane_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        shard = lambda x: jax.device_put(x, lane_sharding)
+    else:
+        shard = lambda x: x
     ts, X, _ = lv.generate_data(jax.random.PRNGKey(0), rtol=1e-7, atol=1e-9)
     x_mean = jnp.mean(X, axis=0)
-    noise_mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32),
-                            runs_per_level)
-    keys = jax.random.split(jax.random.PRNGKey(42), n_runs)
 
     rhs, params0, net = lv.make_ude(jax.random.PRNGKey(7))
     _, unravel = jax.flatten_util.ravel_pytree(params0)
@@ -252,7 +312,10 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         data = make_data(k_noise, mag)
         # restart attempts re-draw ONLY the net init — the lane's noisy
         # dataset (k_noise) is part of the run's identity and never changes;
-        # attempt 0 is bit-identical to the pre-restart study
+        # attempt 0 reproduces the pre-restart study's KEY VALUES exactly
+        # (trajectories can still drift on marginal BFGS basins whenever the
+        # compiled program changes — CLAUDE.md; the re-validated full-study
+        # rates, not bit-identity, are the ground truth)
         k_init = jnp.where(attempt == 0, k_init,
                            jax.random.fold_in(k_init, attempt))
         theta0 = jax.flatten_util.ravel_pytree(net.init(k_init))[0]
@@ -289,7 +352,6 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
     opt_s = STLSQ(LAMS)
     alpha, delta = float(lv.P_TRUE[0]), float(lv.P_TRUE[3])
     x_mean_sq = float(jnp.mean(x_mean**2))
-    K_SEL = 5  # parsimony-ladder rungs (support sizes 1..5) per equation
 
     def dense_rhs(t, u, C):
         # recovered_dynamics! (scenario_1.jl:183-186): known linear terms
@@ -337,10 +399,10 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         C_sel, rel, _ = sd.select_by_simulation(
             [ladder(Yh[:, 0]), ladder(Yh[:, 1])], dense_rhs, data[0],
             0.0, t_end, data, ude.Tsit5(), n_step, sub=SUB,
-            rel_factor=1.5, max_rel=1.0, refit_iters=12,
+            rel_factor=1.5, max_rel=1.0, refit_iters=REFIT_ITERS,
             loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
-            max_total_support=5, sizes=[sizes_r, sizes_r],
-            refit_top=(4, 2, 2, 2), refit_method="lm")
+            max_total_support=MAX_TOTAL_SUPPORT, sizes=[sizes_r, sizes_r],
+            refit_top=REFIT_TOP, refit_method="lm")
         act1 = C_sel[:, 0] != 0.0
         act2 = C_sel[:, 1] != 0.0
         want = jnp.zeros(m, bool).at[i_xy].set(True)
@@ -353,23 +415,47 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
         exact = jnp.all(act1 == want) & jnp.all(act2 == want) & fit_ok
         contains = act1[i_xy] & act2[i_xy] & fit_ok
 
-        # Comparison arm — the reference's own two-stage protocol on the
+        # per-run recovered-model L2 error and AICc of the selected model
+        # (get_error/get_aicc, loop_evaluation.jl:54-56: per-equation
+        # regression residual of the recovered coefficients on (Θ(X̂), Ŷ),
+        # aggregated by 2-norm over the two equations; AICc is the
+        # least-squares form n·log(rss/n) + 2k + 2k(k+1)/(n−k−1))
+        n_pts = theta_feat.shape[0]
+        resid = theta_feat @ C_sel - Yh  # (N, 2)
+        rss = jnp.sum(resid**2, axis=0)
+        k_eq = jnp.stack([act1.sum(), act2.sum()]).astype(rss.dtype)
+        err_l2 = jnp.linalg.norm(jnp.sqrt(rss))
+        aicc_eq = (n_pts * jnp.log(rss / n_pts + 1e-30) + 2.0 * k_eq
+                   + 2.0 * k_eq * (k_eq + 1.0)
+                   / jnp.maximum(n_pts - k_eq - 1.0, 1.0))
+        aicc = jnp.linalg.norm(aicc_eq)
+
+        # Comparison arms — the reference's own two-stage protocol on the
         # SAME lane (same trained net, same data): SR3 λ-sweep scored by
         # g(x) = x[1] < 1 ? Inf : ‖(L0, L2err)‖₂, structure freeze,
-        # STRRidge(0.01) refit (loop_recoveries.jl:100-125).
-        C_sr3 = sd.two_stage_recovery(theta_feat, Yh, LAMS_SR3,
-                                      denoise=SR3_DENOISE)
-        a1s, a2s = C_sr3[:, 0] != 0.0, C_sr3[:, 1] != 0.0
-        exact_sr3 = jnp.all(a1s == want) & jnp.all(a2s == want) & fit_ok
-        contains_sr3 = a1s[i_xy] & a2s[i_xy] & fit_ok
+        # STRRidge(0.01) refit (loop_recoveries.jl:100-125) — once with the
+        # published denoise=true (loop_recoveries.jl:107) and once without.
+        def sr3_arm(denoise):
+            C = sd.two_stage_recovery(theta_feat, Yh, LAMS_SR3,
+                                      denoise=denoise)
+            a1, a2 = C[:, 0] != 0.0, C[:, 1] != 0.0
+            ex = jnp.all(a1 == want) & jnp.all(a2 == want) & fit_ok
+            co = a1[i_xy] & a2[i_xy] & fit_ok
+            return ex, co, C[:, 0], C[:, 1]
+
+        exact_sr3, contains_sr3, c1_sr3, c2_sr3 = sr3_arm(False)
+        exact_sr3d, contains_sr3d, c1_sr3d, c2_sr3d = sr3_arm(True)
         return (exact, contains, fit_ok, C_sel[:, 0], C_sel[:, 1],
-                exact_sr3, contains_sr3, C_sr3[:, 0], C_sr3[:, 1])
+                exact_sr3, contains_sr3, c1_sr3, c2_sr3,
+                exact_sr3d, contains_sr3d, c1_sr3d, c2_sr3d,
+                err_l2, aicc)
 
     def pipeline(keys_c, mags_c, attempt=0, probe=False):
         """One lane-chunk through the full train→recover pipeline; returns
-        the 10-tuple archived per chunk (rec fields + final loss)."""
+        the per-chunk archive tuple (rec fields + final loss)."""
         t_s = time.time()
-        att = jnp.full((keys_c.shape[0],), attempt, jnp.int32)
+        keys_c, mags_c = shard(keys_c), shard(mags_c)
+        att = shard(jnp.full((keys_c.shape[0],), attempt, jnp.int32))
         theta, data = adam_stage(keys_c, mags_c, att)
         if probe:
             jax.block_until_ready(theta)
@@ -405,39 +491,71 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
                   flush=True)
         return rec + (loss,)
 
+    return types.SimpleNamespace(
+        ts=ts, X=X, x_mean=x_mean, shard=shard,
+        adam_stage=adam_stage, bfgs_round=bfgs_round, lm_round=lm_round,
+        recover_stage=recover_stage, pipeline=pipeline)
+
+
+def main(runs_per_level=100, plot=False, resume=True, archive=True,
+         mesh=None, chunk=CHUNK, assert_gates=True):
+    """Drive the full noise-robustness study; see :func:`build_stages` for
+    the mesh semantics.  ``chunk`` must divide by the mesh size."""
+    n_levels = len(NOISE_LEVELS)
+    n_runs = n_levels * runs_per_level
+    if mesh is not None:
+        assert chunk % mesh.size == 0, (
+            f"chunk {chunk} must be a multiple of the mesh size {mesh.size}")
+    st = build_stages(mesh)
+    pipeline = st.pipeline
+    noise_mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32),
+                            runs_per_level)
+    keys = jax.random.split(jax.random.PRNGKey(42), n_runs)
+
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
-          f"chunks of {CHUNK} lanes, {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} "
-          f"BFGS rounds", flush=True)
+          f"chunks of {chunk} lanes"
+          + (f" sharded over {mesh.size} devices" if mesh is not None else "")
+          + f", {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} BFGS rounds", flush=True)
     # Per-chunk group-append checkpointing (loop_recoveries.jl:132-140 —
     # the reference appends each run to the shared JLD2 inside the loop, so
     # a killed study resumes where it stopped; our unit is the lane chunk).
     arch = KeyedArchive(Path(__file__).parent / "results")
     chunk_keys = ("exact", "contains", "fit_ok", "coef1", "coef2",
                   "exact_sr3", "contains_sr3", "coef1_sr3", "coef2_sr3",
-                  "loss")
+                  "exact_sr3d", "contains_sr3d", "coef1_sr3d", "coef2_sr3d",
+                  "err", "aicc", "loss")
     t0 = time.time()
     results = []
-    for c0 in range(0, n_runs, CHUNK):
+    for c0 in range(0, n_runs, chunk):
         gname = f"loop_chunk_r{runs_per_level}_{c0:04d}"
         if resume and gname in arch:
             g = arch.load(gname)
             if all(k in g for k in chunk_keys):
                 results.append(tuple(jnp.asarray(g[k]) for k in chunk_keys))
-                print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes resumed "
+                print(f"  {min(c0+chunk, n_runs)}/{n_runs} lanes resumed "
                       f"from {gname}", flush=True)
                 continue
-            # pre-SR3-arm archive: recompute the chunk so both arms exist
-        sl = slice(c0, min(c0 + CHUNK, n_runs))
+            # older-schema archive (pre-denoise-arm / pre-err-aicc):
+            # recompute the chunk so every field exists
+        idx = np.arange(c0, min(c0 + chunk, n_runs))
+        n_real = idx.size
+        if mesh is not None and n_real % mesh.size:
+            # pad a trailing partial chunk to the sharded batch size
+            # (duplicates are sliced off below, like the restart pass)
+            pad = (-n_real) % chunk
+            idx = np.concatenate([idx, np.full(pad, c0, idx.dtype)])
+        idx = jnp.asarray(idx)
         # stage-wall breakdown on the first computed chunk (sync points cost
         # nothing there and show where the per-recovery budget actually goes)
-        rec = pipeline(keys[sl], noise_mags[sl], probe=not results)
+        rec = pipeline(keys[idx], noise_mags[idx], probe=not results)
+        rec = tuple(r[:n_real] for r in rec)
         results.append(rec)
         jax.block_until_ready(results[-1][0])
         if archive:
             # archive=False callers (the benchmark harness) must not write
             # resume checkpoints a later real study would silently pick up
             arch.save(gname, **dict(zip(chunk_keys, results[-1])))
-        print(f"  {min(c0+CHUNK, n_runs)}/{n_runs} lanes done "
+        print(f"  {min(c0+chunk, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
     fields = [
         np.concatenate([np.asarray(r[i]) for r in results])
@@ -462,14 +580,17 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
                 print(f"  restart pass resumed from {gname}", flush=True)
         if parts2 is None:
             # pad to the compiled CHUNK batch size so no new XLA program
-            # is built for the (dynamic-size) failed set
-            pad = (-idx_fail.size) % CHUNK
+            # is built for the (dynamic-size) failed set; with very few
+            # failed lanes most of the padded chunk is duplicate compute,
+            # which is still cheaper than compiling a smaller batch program
+            # for a one-shot pass (compile ≫ one chunk of lane work)
+            pad = (-idx_fail.size) % chunk
             idx_p = np.concatenate(
                 [idx_fail, np.full(pad, idx_fail[0], idx_fail.dtype)])
-            outs = [pipeline(keys[jnp.asarray(idx_p[r0:r0 + CHUNK])],
-                             noise_mags[jnp.asarray(idx_p[r0:r0 + CHUNK])],
+            outs = [pipeline(keys[jnp.asarray(idx_p[r0:r0 + chunk])],
+                             noise_mags[jnp.asarray(idx_p[r0:r0 + chunk])],
                              attempt=1)
-                    for r0 in range(0, idx_p.size, CHUNK)]
+                    for r0 in range(0, idx_p.size, chunk)]
             parts2 = tuple(np.concatenate([np.asarray(o[i]) for o in outs])
                            for i in range(len(chunk_keys)))
             if archive:
@@ -483,7 +604,8 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
               f"re-inited, {int(take.sum())} recovered", flush=True)
 
     (exact, contains, fit_ok, c1, c2, exact_sr3, contains_sr3, c1_sr3,
-     c2_sr3, fin_loss) = fields
+     c2_sr3, exact_sr3d, contains_sr3d, c1_sr3d, c2_sr3d, err, aicc,
+     fin_loss) = fields
     wall = time.time() - t0
 
     exact = exact.reshape(n_levels, runs_per_level)
@@ -491,18 +613,24 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
     fit_ok = fit_ok.reshape(n_levels, runs_per_level)
     exact_sr3 = exact_sr3.reshape(n_levels, runs_per_level)
     contains_sr3 = contains_sr3.reshape(n_levels, runs_per_level)
+    exact_sr3d = exact_sr3d.reshape(n_levels, runs_per_level)
+    contains_sr3d = contains_sr3d.reshape(n_levels, runs_per_level)
     print(f"total wall-clock: {wall:.1f}s "
           f"({wall/n_runs*1e3:.0f} ms per full recovery)")
     print("selection arms on the same trained lanes: 'judge' = simulation-"
-          "judged STLSQ ladder, 'sr3' = the reference's SR3→STRRidge "
-          "two-stage protocol (loop_recoveries.jl:100-125)")
+          "judged STLSQ ladder; 'sr3' = the reference's SR3→STRRidge "
+          "two-stage protocol (loop_recoveries.jl:100-125), without/with "
+          "its published denoise=true (loop_recoveries.jl:107)")
     print(f"{'noise':>8} | {'trained':>8} | {'x*y found':>9} | {'exact':>6} "
-          f"| {'sr3 x*y':>8} | {'sr3 exact':>9}")
+          f"| {'sr3 x*y':>8} | {'sr3 exact':>9} | {'sr3d x*y':>8} "
+          f"| {'sr3d exact':>10}")
     for lvl, mag in enumerate(NOISE_LEVELS):
         print(f"{mag:8.0e} | {fit_ok[lvl].mean():8.1%} | "
               f"{contains[lvl].mean():9.1%} | {exact[lvl].mean():6.1%} | "
               f"{contains_sr3[lvl].mean():8.1%} | "
-              f"{exact_sr3[lvl].mean():9.1%}")
+              f"{exact_sr3[lvl].mean():9.1%} | "
+              f"{contains_sr3d[lvl].mean():8.1%} | "
+              f"{exact_sr3d[lvl].mean():10.1%}")
 
     if archive:
         arch.save("loop_study", exact=jnp.asarray(exact),
@@ -512,26 +640,35 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True):
                   exact_sr3=jnp.asarray(exact_sr3),
                   contains_sr3=jnp.asarray(contains_sr3),
                   coef1_sr3=jnp.asarray(c1_sr3),
-                  coef2_sr3=jnp.asarray(c2_sr3))
+                  coef2_sr3=jnp.asarray(c2_sr3),
+                  exact_sr3d=jnp.asarray(exact_sr3d),
+                  contains_sr3d=jnp.asarray(contains_sr3d),
+                  coef1_sr3d=jnp.asarray(c1_sr3d),
+                  coef2_sr3d=jnp.asarray(c2_sr3d),
+                  err=jnp.asarray(err), aicc=jnp.asarray(aicc))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
-                    fin_loss)
+                    fin_loss, err=err, aicc=aicc)
     # gates at the measured band minus a reproducibility margin (measured
     # r2 full study with the restart pass: contains 96/96%, exact 96/95%
     # at 1e-3/5e-3); small runs keep a wider margin — at 4/level one
     # flipped lane moves the average 12.5 points
-    gate_c, gate_e = (0.85, 0.85) if runs_per_level >= 20 else (0.75, 0.7)
-    low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
-    assert low_noise_rate >= gate_c, \
-        f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
-    low_noise_exact = (exact[0].mean() + exact[1].mean()) / 2
-    assert low_noise_exact >= gate_e, \
-        f"low-noise exact-structure rate too low: {low_noise_exact:.0%}"
+    if assert_gates:  # False only for reduced-budget path-parity tests
+        gate_c, gate_e = (0.85, 0.85) if runs_per_level >= 20 else (0.75, 0.7)
+        low_noise_rate = (contains[0].mean() + contains[1].mean()) / 2
+        assert low_noise_rate >= gate_c, \
+            f"low-noise x*y recovery rate too low: {low_noise_rate:.0%}"
+        low_noise_exact = (exact[0].mean() + exact[1].mean()) / 2
+        assert low_noise_exact >= gate_e, \
+            f"low-noise exact-structure rate too low: {low_noise_exact:.0%}"
     return dict(exact=exact.mean(axis=1).tolist(),
                 contains=contains.mean(axis=1).tolist(),
                 exact_sr3=exact_sr3.mean(axis=1).tolist(),
-                contains_sr3=contains_sr3.mean(axis=1).tolist(), wall=wall)
+                contains_sr3=contains_sr3.mean(axis=1).tolist(),
+                exact_sr3d=exact_sr3d.mean(axis=1).tolist(),
+                contains_sr3d=contains_sr3d.mean(axis=1).tolist(),
+                err=err.tolist(), aicc=aicc.tolist(), wall=wall)
 
 
 if __name__ == "__main__":
@@ -545,6 +682,14 @@ if __name__ == "__main__":
                     help="discard per-chunk checkpoints and recompute "
                          "(default resumes an interrupted study, the "
                          "loop_recoveries.jl append-mode behavior)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard lane chunks over all local devices "
+                         "(ensemble data parallelism, SURVEY.md §2.4); "
+                         "--chunk must divide by the device count")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help=f"lanes per dispatch (default {CHUNK}; with --mesh "
+                         f"defaults to the largest device-count multiple "
+                         f"≤ {CHUNK})")
     args = ap.parse_args()
     if args.fresh:
         for pat in ("loop_chunk_*.npz", "loop_restart_*.npz"):
@@ -554,6 +699,19 @@ if __name__ == "__main__":
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
                         z["noise"],
-                        z["final_loss"] if "final_loss" in z.files else None)
+                        z["final_loss"] if "final_loss" in z.files else None,
+                        err=z["err"] if "err" in z.files else None,
+                        aicc=z["aicc"] if "aicc" in z.files else None)
     else:
-        main(runs_per_level=args.runs_per_level, plot=args.plot)
+        mesh = None
+        chunk = args.chunk or CHUNK
+        if args.mesh:
+            from universal_differential_equations_tpu.parallel import (
+                ensemble_mesh,
+            )
+
+            mesh = ensemble_mesh()
+            if args.chunk is None:
+                chunk = max(CHUNK // mesh.size, 1) * mesh.size
+        main(runs_per_level=args.runs_per_level, plot=args.plot, mesh=mesh,
+             chunk=chunk)
