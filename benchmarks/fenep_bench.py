@@ -27,7 +27,9 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 T_END = 6.2831  # one 2π strain cycle (FENEP.jl:88)
 
 
-def main():
+def measure():
+    """Time one surrogate solve (chained, null-subtracted) and one exact DAE
+    solve; returns the comparison dict (also consumed by run_all.py row 10)."""
     enable_compilation_cache()
     ts = jnp.linspace(0.0, T_END, 50)
 
@@ -77,11 +79,15 @@ def main():
     t_chain = time_host(lambda: chain(eps))
     t_null = time_host(lambda: null(jnp.zeros(())))
     t_sur = max(t_chain - t_null, 1e-9) / K
-    print(json.dumps({
+    return {
         "surrogate_us_per_solve": round(t_sur * 1e6, 1),
         "dae_us_per_solve": round(t_dae * 1e6, 1),
         "speedup": round(t_dae / t_sur, 1),
-    }))
+    }
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

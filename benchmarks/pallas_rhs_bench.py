@@ -70,6 +70,46 @@ def _f64_reference(u, taps, d0, mlp):
     return rx + float(d0) * conv
 
 
+def measure(n, key=None):
+    """Speed + accuracy comparison at grid size ``n`` (also consumed by
+    run_all.py row 11)."""
+    key = jax.random.PRNGKey(0) if key is None else key
+    taps = jnp.array([6.25, -12.5, 6.25], jnp.float32)
+    d0 = jnp.float32(1.0)
+    mlp = make_pointwise_mlp_params(key, (1, 10, 20, 10, 1))
+
+    u = jax.random.uniform(jax.random.fold_in(key, n), (n,), jnp.float32)
+    pal = jax.jit(lambda uu: fused_updet_rhs(uu, taps, d0, mlp))
+    # "default" XLA path: exactly what a model author would write; use
+    # default matmul precision to expose the bf16 MXU lowering the
+    # package guards against (the package __init__ pins f32 — the bench
+    # measures what happens without the guard)
+    t_null = _null_dispatch(u)
+    with jax.default_matmul_precision("bfloat16"):
+        xla = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
+        t_x, out_x = _time(xla, u, t_null)
+    with jax.default_matmul_precision("float32"):
+        xla32 = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
+        t_x32, out_x32 = _time(xla32, u, t_null)
+    t_p, out_p = _time(pal, u, t_null)
+    ref = _f64_reference(u, taps, d0, mlp)
+    scale = np.abs(ref).max()
+    err_p = float(np.abs(np.asarray(out_p, np.float64) - ref).max() / scale)
+    err_x = float(np.abs(np.asarray(out_x, np.float64) - ref).max() / scale)
+    err_x32 = float(np.abs(np.asarray(out_x32, np.float64) - ref).max() / scale)
+    return {
+        "n": n,
+        "pallas_us": round(t_p * 1e6, 2),
+        "xla_bf16_us": round(t_x * 1e6, 2),
+        "xla_f32_us": round(t_x32 * 1e6, 2),
+        "vs_bf16_speed": round(t_x / t_p, 2),
+        "vs_f32_speed": round(t_x32 / t_p, 2),
+        "pallas_relerr": float(f"{err_p:.3g}"),
+        "xla_bf16_relerr": float(f"{err_x:.3g}"),
+        "xla_f32_relerr": float(f"{err_x32:.3g}"),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     # 262144 and 1048576 exceed the single-block VMEM budget and route
@@ -77,43 +117,8 @@ def main():
     ap.add_argument("--sizes", default="1024,8192,65536,262144,1048576")
     args = ap.parse_args()
     enable_compilation_cache()
-
-    key = jax.random.PRNGKey(0)
-    taps = jnp.array([6.25, -12.5, 6.25], jnp.float32)
-    d0 = jnp.float32(1.0)
-    mlp = make_pointwise_mlp_params(key, (1, 10, 20, 10, 1))
-
     for n in (int(s) for s in args.sizes.split(",")):
-        u = jax.random.uniform(jax.random.fold_in(key, n), (n,), jnp.float32)
-        pal = jax.jit(lambda uu: fused_updet_rhs(uu, taps, d0, mlp))
-        # "default" XLA path: exactly what a model author would write; use
-        # default matmul precision to expose the bf16 MXU lowering the
-        # package guards against (the package __init__ pins f32 — the bench
-        # measures what happens without the guard)
-        t_null = _null_dispatch(u)
-        with jax.default_matmul_precision("bfloat16"):
-            xla = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
-            t_x, out_x = _time(xla, u, t_null)
-        with jax.default_matmul_precision("float32"):
-            xla32 = jax.jit(lambda uu: updet_rhs_xla(uu, taps, d0, mlp))
-            t_x32, out_x32 = _time(xla32, u, t_null)
-        t_p, out_p = _time(pal, u, t_null)
-        ref = _f64_reference(u, taps, d0, mlp)
-        scale = np.abs(ref).max()
-        err_p = float(np.abs(np.asarray(out_p, np.float64) - ref).max() / scale)
-        err_x = float(np.abs(np.asarray(out_x, np.float64) - ref).max() / scale)
-        err_x32 = float(np.abs(np.asarray(out_x32, np.float64) - ref).max() / scale)
-        print(json.dumps({
-            "n": n,
-            "pallas_us": round(t_p * 1e6, 2),
-            "xla_bf16_us": round(t_x * 1e6, 2),
-            "xla_f32_us": round(t_x32 * 1e6, 2),
-            "vs_bf16_speed": round(t_x / t_p, 2),
-            "vs_f32_speed": round(t_x32 / t_p, 2),
-            "pallas_relerr": float(f"{err_p:.3g}"),
-            "xla_bf16_relerr": float(f"{err_x:.3g}"),
-            "xla_f32_relerr": float(f"{err_x32:.3g}"),
-        }))
+        print(json.dumps(measure(n)))
 
 
 if __name__ == "__main__":

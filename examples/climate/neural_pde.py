@@ -120,6 +120,28 @@ def main(quick=False, plot=False):
           f"vs ROCK4's {int(long.num_accepted)}")
     assert bool(long1.success) and dev1 < 0.05
 
+    # ROCK2 arm — the reference's own lower-order stabilized configuration
+    # (npde.jl:122 solves this exact rollout with ROCK2(eigen_est)): same
+    # trained flux, same tolerance, RHS-eval counts side by side.  Order 2
+    # must land on the ROCK4 trajectory; at this loose rtol=1e-4 the two
+    # are comparable (measured 1659 vs 1911 evals, ROCK2 slightly cheaper)
+    # — ROCK4's advantage opens as tolerance tightens (the benchmarked ~6×
+    # at rtol 1e-8, README), which is why the reference's truth solves at
+    # 1e-9 use ROCK4 (npde.jl:61) and only this rollout uses ROCK2.
+    rock2 = ude.ROCK2.for_problem(eig * 1.1, (0.0, 10.0), n_steps_hint=60)
+    long2 = ude.solve(
+        ude.ODEProblem(rhs, u0, (0.0, 10.0), (res.params, D1, D2)), rock2,
+        saveat=jnp.linspace(0.0, 10.0, 30), rtol=1e-4, atol=1e-4,
+        adjoint=ude.NoAdjoint(), max_steps=8192,
+    )
+    dev2 = float(jnp.linalg.norm(long2.ys - long.ys)
+                 / jnp.linalg.norm(long.ys))
+    print(f"t=10 rollout with ROCK2(s={rock2.stages}): "
+          f"success={bool(long2.success)}, dev vs ROCK4 = {dev2:.2e}, "
+          f"RHS evals {int(long2.num_rhs_evals)} vs ROCK4's "
+          f"{int(long.num_rhs_evals)} at equal tolerance")
+    assert bool(long2.success) and dev2 < 0.05
+
     if plot:
         # npde.jl figure analogues: learned flux vs Φ(u) over the visited
         # state range, and the stabilized long rollout as a z-t field
@@ -149,7 +171,9 @@ def main(quick=False, plot=False):
             cbar_label="u"), outdir / "npde_rollout.pdf")
         print(f"plots written to {outdir}")
 
-    return dict(loss=float(res.loss), adjoint_ms=per_eval * 1e3)
+    return dict(loss=float(res.loss), adjoint_ms=per_eval * 1e3,
+                rock4_evals=int(long.num_rhs_evals),
+                rock2_evals=int(long2.num_rhs_evals))
 
 
 if __name__ == "__main__":
