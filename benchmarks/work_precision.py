@@ -1,0 +1,199 @@
+"""Work-precision sets across the explicit/stabilized solver shelf.
+
+The SciML ecosystem's standard solver-comparison artifact is the
+WorkPrecisionSet (error vs. cost as tolerance tightens); the reference picks
+its solvers from exactly such diagrams (Vern7 for 1e-12 truth runs,
+`scenario_1.jl:41`; Tsit5 for training loops; ROCK4 over ROCK2 for stiff
+columns, `Climate/NeuralPDE/npde.jl:61,122`).  This harness reproduces the
+artifact for OUR shelf, giving every solver a measured placement:
+
+* non-stiff set — Lotka-Volterra over [0, 5]: Bosh3 / Tsit5 / Dopri5 / Vern7
+  (+ Heun as the low-order floor), error vs. an x64 Vern7 solve at 1e-13.
+* stiff set — the climate 1-D diffusion column (rho(D2) ≈ 192):
+  RKC1 / RKC2 / ROCK2 / ROCK4 vs. an x64 reference, showing the
+  order-2-cheap-at-loose / order-4-wins-at-tight crossover that justifies
+  the reference's ROCK4 choice.
+* SDE set — scalar geometric Brownian motion with a closed-form solution:
+  EulerMaruyama vs. EulerHeun (Stratonovich, drift-corrected GBM) strong
+  error at matched path counts, halving dt.
+
+Counts (num_rhs_evals) and errors are device-independent, so the harness
+forces CPU+x64 for clean reference errors; run anywhere.
+
+Prints one JSON line per (set, solver, tol/dt) point:
+  {"set", "solver", "rtol"|"dt", "rhs_evals", "err"}
+``--plot`` writes the work-precision figures to benchmarks/plots/.
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import universal_differential_equations_tpu as ude
+from universal_differential_equations_tpu.models import climate_npde as cn
+from universal_differential_equations_tpu.models import lotka_volterra as lv
+from universal_differential_equations_tpu.solvers.sde import (
+    _brownian_increments,
+    sdeint,
+)
+from universal_differential_equations_tpu.utils import enable_compilation_cache
+
+RTOLS = tuple(10.0 ** -e for e in range(3, 10))
+
+
+def _solve(prob, solver, rtol, saveat, max_steps=65536):
+    sol = ude.solve(prob, solver, saveat=saveat, rtol=rtol, atol=rtol * 1e-2,
+                    adjoint=ude.NoAdjoint(), max_steps=max_steps)
+    return sol
+
+
+def nonstiff_set():
+    ts = jnp.linspace(0.0, 5.0, 51)
+    prob = ude.ODEProblem(lv.lotka_rhs, lv.U0.astype(jnp.float64),
+                          (0.0, 5.0), lv.P_TRUE.astype(jnp.float64))
+    ref = _solve(prob, ude.Vern7(), 1e-13, ts)
+    assert bool(ref.success)
+    ref_ys = np.asarray(ref.ys)
+    scale = np.abs(ref_ys).max()
+    shelf = [("Heun", ude.Heun()), ("Bosh3", ude.Bosh3()),
+             ("Tsit5", ude.Tsit5()), ("Dopri5", ude.Dopri5()),
+             ("Vern7", ude.Vern7())]
+    rows = []
+    for name, solver in shelf:
+        for rtol in RTOLS:
+            sol = _solve(prob, solver, rtol, ts)
+            if not bool(sol.success):
+                continue
+            err = float(np.abs(np.asarray(sol.ys) - ref_ys).max() / scale)
+            rows.append(dict(set="lotka_volterra", solver=name, rtol=rtol,
+                             rhs_evals=int(sol.num_rhs_evals),
+                             err=float(f"{err:.3g}")))
+    return rows
+
+
+def stiff_set():
+    D1, D2, eig = cn.getops(32)
+    D1, D2 = jnp.asarray(D1, jnp.float64), jnp.asarray(D2, jnp.float64)
+    u0 = jnp.asarray(cn.get_u0(32), jnp.float64)
+    ts = jnp.linspace(0.0, 1.5, 16)
+    prob = ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.5), (D1, D2))
+    ref = _solve(prob, ude.Vern7(), 1e-12, ts)
+    assert bool(ref.success)
+    ref_ys = np.asarray(ref.ys)
+    scale = np.abs(ref_ys).max()
+    shelf = [
+        ("RKC1", ude.RKC1(stages=24, rho=float(eig) * 1.1)),
+        ("RKC2", ude.RKC2(stages=24, rho=float(eig) * 1.1)),
+        ("ROCK2", ude.ROCK2.for_problem(float(eig) * 1.1, (0.0, 1.5))),
+        ("ROCK4", ude.ROCK4.for_problem(float(eig) * 1.1, (0.0, 1.5))),
+    ]
+    rows = []
+    for name, solver in shelf:
+        for rtol in RTOLS[:6]:  # stabilized-explicit f64 floor ~1e-9
+            sol = _solve(prob, solver, rtol, ts)
+            if not bool(sol.success):
+                continue
+            err = float(np.abs(np.asarray(sol.ys) - ref_ys).max() / scale)
+            rows.append(dict(set="climate_column", solver=name, rtol=rtol,
+                             rhs_evals=int(sol.num_rhs_evals),
+                             err=float(f"{err:.3g}")))
+    return rows
+
+
+def sde_set(n_paths=256):
+    """Strong error on GBM: dX = mu X dt + sigma X dW (Ito),
+    X_T = X0 exp((mu - sigma^2/2) T + sigma W_T).  EulerHeun integrates the
+    Stratonovich form (drift reduced by sigma^2/2 X), converging to the SAME
+    Ito solution — the standard Ito/Stratonovich consistency check."""
+    mu, sigma, T = 0.7, 0.5, 1.0
+    f_ito = lambda t, x, a: mu * x
+    f_strat = lambda t, x, a: (mu - 0.5 * sigma**2) * x
+    g = lambda t, x, a: sigma * x
+    x0 = jnp.ones((1,), jnp.float64)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_paths)
+    rows = []
+    for n_steps in (8, 16, 32, 64, 128, 256):
+        for name, f in (("EulerMaruyama", f_ito), ("EulerHeun", f_strat)):
+            solver = (ude.EulerMaruyama() if name == "EulerMaruyama"
+                      else ude.EulerHeun())
+            prob = ude.SDEProblem(f=f, g=g, u0=x0, tspan=(0.0, T))
+
+            def one(key):
+                sol = sdeint(prob, solver, key=key, n_steps=n_steps)
+                # reconstruct this path's terminal Brownian value from the
+                # same counter-based increments the stepper consumed
+                h = jnp.asarray(T / n_steps, jnp.float64)
+                dws = _brownian_increments(key, n_steps, 1, h, jnp.float64)
+                w_T = jnp.sum(dws)
+                exact = x0[0] * jnp.exp((mu - 0.5 * sigma**2) * T
+                                        + sigma * w_T)
+                return jnp.abs(sol.ys[-1][0] - exact)
+
+            errs = jax.vmap(one)(keys)
+            rows.append(dict(set="gbm_strong", solver=name,
+                             dt=float(T / n_steps),
+                             rhs_evals=n_steps * (1 if name == "EulerMaruyama"
+                                                  else 2),
+                             err=float(f"{float(jnp.mean(errs)):.3g}")))
+    return rows
+
+
+def write_plots(rows):
+    from universal_differential_equations_tpu import viz
+
+    outdir = Path(__file__).resolve().parent / "plots"
+    for set_name, xlabel in (("lotka_volterra", "RHS evaluations"),
+                             ("climate_column", "RHS evaluations"),
+                             ("gbm_strong", "RHS evaluations")):
+        sub = [r for r in rows if r["set"] == set_name]
+        if not sub:
+            continue
+        fig, ax = viz.new_figure(4.8, 3.4)
+        solvers = sorted({r["solver"] for r in sub})
+        for i, s in enumerate(solvers):
+            pts = sorted(((r["rhs_evals"], r["err"]) for r in sub
+                          if r["solver"] == s))
+            ax.loglog([p[0] for p in pts], [max(p[1], 1e-16) for p in pts],
+                      "o-", color=viz.SERIES[i % len(viz.SERIES)],
+                      markersize=3.5, linewidth=1.2, label=s)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("max relative error" if set_name != "gbm_strong"
+                      else "mean strong error")
+        ax.set_title(f"work-precision: {set_name}")
+        ax.legend(fontsize=7)
+        viz.save(fig, outdir / f"work_precision_{set_name}.pdf")
+    print(f"plots written to {outdir}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sets", default="nonstiff,stiff,sde")
+    ap.add_argument("--plot", action="store_true")
+    args = ap.parse_args()
+    enable_compilation_cache()
+    rows = []
+    sets = args.sets.split(",")
+    if "nonstiff" in sets:
+        rows += nonstiff_set()
+    if "stiff" in sets:
+        rows += stiff_set()
+    if "sde" in sets:
+        rows += sde_set()
+    for r in rows:
+        print(json.dumps(r))
+    if args.plot:
+        write_plots(rows)
+
+
+if __name__ == "__main__":
+    main()
