@@ -9,10 +9,11 @@ cd "$(dirname "$0")/.."
 python -m pytest tests/ -q                                   # CPU, ~10 min
 
 python bench.py                                              # headline metric
-python benchmarks/run_all.py                                 # baseline table
+python benchmarks/run_all.py                                 # baseline table (11 rows)
 python benchmarks/pallas_rhs_bench.py                        # kernel accuracy/speed
 python benchmarks/fenep_bench.py                             # surrogate vs DAE
 python benchmarks/climate_adjoint_bench.py                   # adjoint eval time
+python benchmarks/work_precision.py --plot                   # solver-shelf curves (CPU)
 
 for ex in \
     examples/lotka_volterra/scenario_1.py \
@@ -29,6 +30,11 @@ for ex in \
     examples/climate/training_rt.py \
     examples/highdim_pde/hjb_100d.py; do
   python "$ex" --plot || exit 1
+done
+
+# the remaining Fisher-KPP study variants (the fourier default ran above)
+for v in fourier5 fourier7 small small7 small4; do
+  python examples/fisher_kpp/fisher_kpp.py --variant "$v" || exit 1
 done
 
 python __graft_entry__.py                                    # driver gates
