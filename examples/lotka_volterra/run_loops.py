@@ -76,10 +76,11 @@ RECOVER_CHUNK = 25  # recovery-stage lanes per dispatch: the LM judge's
 # sequential depth (10 finalists × 12 parallel-Jacobian iters) is ~4× below
 # the old 50-iter BFGS judge, so a full training chunk fits the watchdog
 SUB = 4  # fixed Tsit5 substeps per save interval in the lane solver
+HIST_STRIDE = 4  # archive every 4th training-loss sample (f16) per lane
 
 
 def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
-                aicc=None):
+                aicc=None, loss_hist=None):
     """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
     bars (:120-126) and the recovered-coefficient spread vs the true values
     (re-plottable from the archive without retraining, like Plotfigs.jl)."""
@@ -180,6 +181,38 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
                      "(bar = median)", fontsize=10)
         fig.tight_layout()
         viz.save(fig, outdir / "loop_err_aicc.pdf")
+
+    if loss_hist is not None:
+        # loop_evaluation.jl's training-loss spaghetti over the archived
+        # per-run `losses` arrays (loop_recoveries.jl:52-57,137): every
+        # lane's ADAM+BFGS loss trajectory, colored by noise level.  BFGS
+        # rounds pad iterations past convergence with +inf — forward-fill
+        # so converged lanes hold their final loss instead of vanishing.
+        lh = np.asarray(loss_hist).astype(float).reshape(n_levels, per, -1)
+        bad = ~np.isfinite(lh)
+        idx = np.where(bad, 0, np.arange(lh.shape[-1]))
+        np.maximum.accumulate(idx, axis=-1, out=idx)
+        lh = np.take_along_axis(lh, idx, axis=-1)
+        fig, ax = viz.new_figure(5.6, 3.4)
+        iters = np.arange(lh.shape[-1]) * HIST_STRIDE  # archive stores ×4
+        step = max(per // 20, 1)  # ≤20 traces per level keeps the PDF light
+        for lvl in range(n_levels):
+            col = viz.SERIES[lvl % len(viz.SERIES)]
+            for r in range(0, per, step):
+                tr = np.clip(lh[lvl, r], 1e-12, None)
+                ax.plot(iters, tr, color=col, linewidth=0.6, alpha=0.35,
+                        label=f"{noise[lvl]:g}" if r == 0 else None)
+        n_adam = iters[-1] + HIST_STRIDE - BFGS_ROUNDS * BFGS_ITERS_PER_ROUND
+        if 0 < n_adam <= iters[-1]:
+            ax.axvline(n_adam, color="0.4", linewidth=0.8, linestyle=":")
+            ax.text(n_adam, ax.get_ylim()[1], " ADAM→BFGS", fontsize=7,
+                    va="top", color="0.35")
+        ax.set_yscale("log")
+        ax.set_xlabel("training iteration")
+        ax.set_ylabel("loss")
+        ax.set_title("per-run training-loss trajectories")
+        ax.legend(fontsize=7, title="noise", ncol=2)
+        viz.save(fig, outdir / "loop_loss_histories.pdf")
 
     if c1.ndim == 2 and c1.shape[1] == len(BASIS):
         # loop_evaluation.jl:37-61 sparsity extraction (get_sparsity):
@@ -327,9 +360,12 @@ def build_stages(mesh=None):
             up, st = opt.update(g, st, th)
             return (optax.apply_updates(th, up), st), l
 
-        (theta, _), _ = jax.lax.scan(step, (theta0, opt.init(theta0)), None,
-                                     length=200)
-        return theta, data
+        (theta, _), ls = jax.lax.scan(step, (theta0, opt.init(theta0)), None,
+                                      length=200)
+        # ls: the reference archives each run's per-iteration `losses` array
+        # (loop_recoveries.jl:52-57,137) — kept for the loop_evaluation.jl
+        # spaghetti figure
+        return theta, data, ls
 
     @jax.jit
     @jax.vmap
@@ -337,7 +373,8 @@ def build_stages(mesh=None):
         r = bfgs_minimize(lambda t_: mean_loss(t_, data), theta,
                           maxiters=BFGS_ITERS_PER_ROUND,
                           initial_stepnorm=0.01, gtol=1e-12)
-        return jax.flatten_util.ravel_pytree(r.params)[0], r.value
+        return (jax.flatten_util.ravel_pytree(r.params)[0], r.value,
+                r.loss_history)
 
     @jax.jit
     @jax.vmap
@@ -456,13 +493,22 @@ def build_stages(mesh=None):
         t_s = time.time()
         keys_c, mags_c = shard(keys_c), shard(mags_c)
         att = shard(jnp.full((keys_c.shape[0],), attempt, jnp.int32))
-        theta, data = adam_stage(keys_c, mags_c, att)
+        theta, data, hist_a = adam_stage(keys_c, mags_c, att)
         if probe:
             jax.block_until_ready(theta)
             t_adam, t_s = time.time() - t_s, time.time()
         loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
+        hists = [hist_a]
         for _ in range(BFGS_ROUNDS):
-            theta, loss = bfgs_round(theta, data)
+            theta, loss, h = bfgs_round(theta, data)
+            hists.append(h)
+        # per-lane ADAM+BFGS loss trajectory (the reference's archived
+        # `losses` arrays); +inf marks iterations past a round's convergence.
+        # Stored strided ×HIST_STRIDE in f16: the committed full-study
+        # archive stays ~1.5 MB instead of 12, and the log-scale spaghetti
+        # figure cannot resolve the difference.
+        hist = jnp.concatenate(hists, axis=1)[:, ::HIST_STRIDE]
+        hist = hist.astype(jnp.float16)
         if probe:
             jax.block_until_ready(theta)
             t_bfgs, t_s = time.time() - t_s, time.time()
@@ -489,7 +535,7 @@ def build_stages(mesh=None):
                   f"lm {t_lm / n_l * 1e3:.0f}, "
                   f"recover {(time.time() - t_s) / n_l * 1e3:.0f}",
                   flush=True)
-        return rec + (loss,)
+        return rec + (hist, loss)
 
     return types.SimpleNamespace(
         ts=ts, X=X, x_mean=x_mean, shard=shard,
@@ -523,7 +569,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     chunk_keys = ("exact", "contains", "fit_ok", "coef1", "coef2",
                   "exact_sr3", "contains_sr3", "coef1_sr3", "coef2_sr3",
                   "exact_sr3d", "contains_sr3d", "coef1_sr3d", "coef2_sr3d",
-                  "err", "aicc", "loss")
+                  "err", "aicc", "loss_hist", "loss")
     t0 = time.time()
     results = []
     for c0 in range(0, n_runs, chunk):
@@ -605,7 +651,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
 
     (exact, contains, fit_ok, c1, c2, exact_sr3, contains_sr3, c1_sr3,
      c2_sr3, exact_sr3d, contains_sr3d, c1_sr3d, c2_sr3d, err, aicc,
-     fin_loss) = fields
+     loss_hist, fin_loss) = fields
     wall = time.time() - t0
 
     exact = exact.reshape(n_levels, runs_per_level)
@@ -645,11 +691,12 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                   contains_sr3d=jnp.asarray(contains_sr3d),
                   coef1_sr3d=jnp.asarray(c1_sr3d),
                   coef2_sr3d=jnp.asarray(c2_sr3d),
-                  err=jnp.asarray(err), aicc=jnp.asarray(aicc))
+                  err=jnp.asarray(err), aicc=jnp.asarray(aicc),
+                  loss_hist=jnp.asarray(loss_hist))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
-                    fin_loss, err=err, aicc=aicc)
+                    fin_loss, err=err, aicc=aicc, loss_hist=loss_hist)
     # gates at the measured band minus a reproducibility margin (measured
     # r2 full study with the restart pass: contains 96/96%, exact 96/95%
     # at 1e-3/5e-3); small runs keep a wider margin — at 4/level one
@@ -701,7 +748,9 @@ if __name__ == "__main__":
                         z["noise"],
                         z["final_loss"] if "final_loss" in z.files else None,
                         err=z["err"] if "err" in z.files else None,
-                        aicc=z["aicc"] if "aicc" in z.files else None)
+                        aicc=z["aicc"] if "aicc" in z.files else None,
+                        loss_hist=(z["loss_hist"]
+                                   if "loss_hist" in z.files else None))
     else:
         mesh = None
         chunk = args.chunk or CHUNK

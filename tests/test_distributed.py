@@ -159,7 +159,7 @@ def test_run_loops_recover_stage_sharded_matches_vmap(monkeypatch):
     keys = jax.random.split(jax.random.PRNGKey(5), lanes)
     mags = jnp.full((lanes,), 1e-2, jnp.float32)
     att = jnp.zeros((lanes,), jnp.int32)
-    theta, data = st.adam_stage(keys, mags, att)
+    theta, data, _ = st.adam_stage(keys, mags, att)
     loss = jnp.full((lanes,), 1e-4, jnp.float32)  # pass the fit gate
 
     ref = st.recover_stage(theta, data, loss, mags)
