@@ -332,7 +332,14 @@ def main():
                 for r in old_rows:
                     r.setdefault("platform", old.get("platform"))
                     r.setdefault("device", old.get("device"))
-            merged = {r["metric"]: r for r in old_rows}
+            # drop rows whose metric was renamed in a later round: keeping
+            # them would publish a duplicate row under the superseded name
+            # (and, for the small row, the mis-credited 2508 s baseline
+            # BASELINE.md corrects in r03)
+            superseded = {"fisherkpp_small_train_to_loss_0.01":
+                          "fisherkpp_small15_train_to_loss_0.01"}
+            merged = {r["metric"]: r for r in old_rows
+                      if r["metric"] not in superseded}
             merged.update({r["metric"]: r for r in results})
             payload["rows"] = list(merged.values())
         out.write_text(json.dumps(payload, indent=1) + "\n")

@@ -85,8 +85,44 @@ def _model_closures(variant, ts, data):
     return _CLOSURES[key]
 
 
+def _run_gate(variant, params, final):
+    """Per-run scientific claim: the reference's exit criterion plus stencil
+    localization — or, for the architecturally capped small4, landing inside
+    the reference's own non-convergent band."""
+    if variant == "small4":
+        return final < SMALL4_REFERENCE_WORST * 1.05
+    w = np.asarray(params["w"])
+    d_eff = float(params["D0"]) * (w[0] + w[2]) / 2 * fk.DX**2
+    return (final < 0.01 and abs(w.sum()) < 1e-2
+            and abs(d_eff - fk.D_TRUE) < 0.35 * fk.D_TRUE)
+
+
 def train_once(seed, variant, ts, data, quick=False, dashboard=None):
-    """Train to the reference's exit criterion (loss < 0.01).
+    """Train to the reference's exit criterion (loss < 0.01) under a
+    deterministic multi-seed restart ladder.
+
+    Hard quality gates cannot ride one seed: any program-level change flips
+    marginal quasi-Newton basins (CLAUDE.md), so attempts run in the fixed
+    order seed, seed+1000, seed+2000, stopping at the first that passes
+    :func:`_run_gate`; the returned wall-clock includes every attempt, so
+    the timing study stays honest.  (The Fourier variants are linear in
+    their reaction parameters and virtually never need a restart.)
+    """
+    t0 = time.time()
+    best_params, best_final = None, float("inf")
+    for k in range(3):
+        params, final = _train_attempt(seed + 1000 * k, variant, ts, data,
+                                       quick, dashboard)
+        if final < best_final:
+            best_params, best_final = params, final
+        if _run_gate(variant, params, final):
+            break
+    return best_params, best_final, time.time() - t0
+
+
+def _train_attempt(seed, variant, ts, data, quick=False, dashboard=None):
+    """One training attempt: ADAM warmup (MLP reactions) → LM, with one
+    first-order+LM refinement pass if the exit criterion is missed.
 
     The trajectory loss is an explicit residual sum, so Levenberg-Marquardt
     with forward-mode Jacobians through the stepper converges in tens of
@@ -96,7 +132,6 @@ def train_once(seed, variant, ts, data, quick=False, dashboard=None):
     _, params0 = fk.make_model(jax.random.PRNGKey(seed), variant)
     rhs, residuals, loss = _model_closures(variant, ts, data)
 
-    t0 = time.time()
     params = params0
     if not variant.startswith("fourier"):
         # MLP reactions are nonlinear in their parameters: ADAM first to
@@ -117,8 +152,7 @@ def train_once(seed, variant, ts, data, quick=False, dashboard=None):
         res = levenberg_marquardt(residuals, res2.params,
                                   maxiters=30 if quick else 100, loss_tol=0.01)
         params, final = res.params, float(res.loss)
-    wall = time.time() - t0
-    return params, final, wall
+    return params, final
 
 
 def write_plots(variant, ts, data, params):

@@ -508,6 +508,12 @@ def build_stages(mesh=None):
         # archive stays ~1.5 MB instead of 12, and the log-scale spaghetti
         # figure cannot resolve the difference.
         hist = jnp.concatenate(hists, axis=1)[:, ::HIST_STRIDE]
+        # clamp finite samples below f16 max before the cast: an early-ADAM
+        # loss above 65504 would overflow to +inf, which is this array's
+        # past-convergence padding sentinel — the plot's forward-fill must
+        # not mistake a huge-but-real early loss for padding
+        hist = jnp.where(jnp.isfinite(hist),
+                         jnp.minimum(hist, 6.5e4), jnp.inf)
         hist = hist.astype(jnp.float16)
         if probe:
             jax.block_until_ready(theta)
@@ -574,9 +580,21 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     results = []
     for c0 in range(0, n_runs, chunk):
         gname = f"loop_chunk_r{runs_per_level}_{c0:04d}"
+        n_expect = min(c0 + chunk, n_runs) - c0
         if resume and gname in arch:
             g = arch.load(gname)
             if all(k in g for k in chunk_keys):
+                # the group name encodes the lane offset but not the chunk
+                # size: resuming with a different --chunk/--mesh would mix
+                # chunk grids (duplicated/missing lanes that only blow up
+                # after the full recompute) — refuse instead
+                n_got = np.asarray(g["err"]).shape[0]
+                if n_got != n_expect:
+                    raise SystemExit(
+                        f"{gname} holds {n_got} lanes but this invocation "
+                        f"expects {n_expect} (chunk={chunk}): resume with "
+                        f"the chunk size the study was started with, or "
+                        f"delete results/loop_chunk_r*.npz to restart")
                 results.append(tuple(jnp.asarray(g[k]) for k in chunk_keys))
                 print(f"  {min(c0+chunk, n_runs)}/{n_runs} lanes resumed "
                       f"from {gname}", flush=True)

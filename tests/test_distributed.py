@@ -181,6 +181,24 @@ def test_run_loops_recover_stage_sharded_matches_vmap(monkeypatch):
                                        err_msg=f"recover output {i}")
 
 
+def test_run_loops_resume_rejects_chunk_mismatch(monkeypatch, tmp_path):
+    """Resume checkpoints are keyed by lane offset, not chunk size: resuming
+    with a different --chunk must refuse up front (mixed chunk grids would
+    duplicate/drop lanes and only blow up after the full recompute)."""
+    import pytest
+
+    rl = _import_run_loops(monkeypatch)
+    from universal_differential_equations_tpu.io import KeyedArchive
+
+    monkeypatch.setattr(rl, "KeyedArchive", lambda root: KeyedArchive(tmp_path))
+    rl.main(runs_per_level=1, archive=True, resume=False, chunk=5,
+            assert_gates=False)
+    # same offsets, different chunk: the guard fires before any recompute
+    with pytest.raises(SystemExit, match="chunk"):
+        rl.main(runs_per_level=1, archive=True, resume=True, chunk=3,
+                assert_gates=False)
+
+
 def test_run_loops_mesh_pipeline_end_to_end(monkeypatch):
     """VERDICT r2 item 1 (product half): `run_loops.main(mesh=...)` — the
     actual 500-run-study driver — executes its full train→judge→archive

@@ -149,6 +149,51 @@ def test_model_rhs_fused_dispatch_matches_xla():
                                   np.asarray(ref_small))
 
 
+def test_model_rhs_fused_dispatch_is_differentiable():
+    # the auto-dispatched kernel sits inside training losses, so BOTH AD
+    # modes must work through it (custom_jvp with XLA-path tangents):
+    # reverse (jax.grad / adjoints) and forward (jacfwd / ForwardSensitivity
+    # / the LM trainer).  Gradients must match the pure-XLA model's.
+    from universal_differential_equations_tpu.models import fisher_kpp as fk
+
+    key = jax.random.PRNGKey(7)
+    rhs, params = fk.make_model(key, "small", dtype=jnp.float32)
+    u = jax.random.uniform(key, (1024,), jnp.float32)
+
+    def loss(p, r):
+        return jnp.sum(r(0.0, u, p) ** 2)
+
+    g_ref = jax.grad(loss)(params, rhs)  # CPU backend: XLA path
+    tan = jax.random.normal(jax.random.fold_in(key, 1), u.shape, jnp.float32)
+    _, jvp_ref = jax.jvp(lambda uu: rhs(0.0, uu, params), (u,), (tan,))
+    fk._FUSED_INTERPRET = True
+    try:
+        g_fused = jax.grad(loss)(params, rhs)
+        _, jvp_fused = jax.jvp(lambda uu: rhs(0.0, uu, params), (u,), (tan,))
+    finally:
+        fk._FUSED_INTERPRET = False
+    for ref_leaf, fused_leaf in zip(jax.tree.leaves(g_ref),
+                                    jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(fused_leaf),
+                                   np.asarray(ref_leaf), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jvp_fused), np.asarray(jvp_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_dispatch_guards_dtype_and_default_device():
+    # the kernel assumes f32 TPU tiles: x64 states and CPU-placed programs
+    # (the jax.default_device(cpu) x64-host refinement pattern) must fall
+    # back to the XLA path even when the process-global backend is TPU
+    from universal_differential_equations_tpu.models import fisher_kpp as fk
+
+    u64 = jnp.linspace(0.0, 1.0, 1024).astype(jnp.float64)
+    assert fk._use_fused(u64) is False
+    cpu = jax.devices("cpu")[0]
+    u32 = jnp.zeros(1024, jnp.float32)
+    with jax.default_device(cpu):
+        assert fk._use_fused(u32) is False
+
+
 def test_fisher_kpp_variant_matrix_param_counts():
     # the study variants must carry exactly the reference rows' parameter
     # counts (Fisher-KPP-CNN-Small.jl:311-391, -Fourier.jl:305-395):

@@ -134,12 +134,14 @@ def make_model(key, variant: str = "mlp", dtype=jnp.float32):
 
     def rhs(t, u, params):
         if mlp_rx is not None and _use_fused(u):
-            from ..ops.pallas_stencil import fused_updet_rhs
+            # the _diff wrapper keeps the RHS trainable: Pallas primal,
+            # XLA-path custom_jvp for jacfwd/grad/adjoints
+            from ..ops.pallas_stencil import fused_updet_rhs_diff
 
-            return fused_updet_rhs(
+            return fused_updet_rhs_diff(
                 u, params["w"], params["D0"],
                 mlp_rx.as_matmul_params(params["rx"]),
-                interpret=_FUSED_INTERPRET)
+                _FUSED_INTERPRET)
         w = params["w"]
         conv = w[0] * jnp.roll(u, 1) + w[1] * u + w[2] * jnp.roll(u, -1)
         return apply_rx(params["rx"], u) + params["D0"] * conv
@@ -152,15 +154,22 @@ _FUSED_INTERPRET = False
 
 
 def _use_fused(u) -> bool:
-    """Fused-kernel dispatch predicate: qualifying grid on a TPU backend.
+    """Fused-kernel dispatch predicate: qualifying f32 grid on a TPU backend.
 
-    ``u.shape`` is static under trace, so this is a Python-level branch —
-    the compiled program contains exactly one of the two paths.
+    ``u.shape``/``dtype`` are static under trace, so this is a Python-level
+    branch — the compiled program contains exactly one of the two paths.
+    The kernel assumes f32 tiles, so x64 paths fall back to XLA; and a
+    ``jax.default_device(cpu)`` override (the x64-host refinement pattern)
+    must win over the process-global TPU backend — ``jax.default_backend()``
+    ignores it (measured), so the config default device is checked first.
     """
-    if u.ndim != 1 or u.shape[0] % 1024 != 0:
+    if u.ndim != 1 or u.shape[0] % 1024 != 0 or u.dtype != jnp.float32:
         return False
     if _FUSED_INTERPRET:
         return True
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        return default_dev.platform == "tpu"
     return jax.default_backend() == "tpu"
 
 

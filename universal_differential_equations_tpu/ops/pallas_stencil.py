@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_updet_rhs", "fused_updet_rhs_gridded", "updet_rhs_xla",
-           "make_pointwise_mlp_params"]
+__all__ = ["fused_updet_rhs", "fused_updet_rhs_diff", "fused_updet_rhs_gridded",
+           "updet_rhs_xla", "make_pointwise_mlp_params"]
 
 
 def make_pointwise_mlp_params(key, sizes: Sequence[int], dtype=jnp.float32):
@@ -130,6 +130,31 @@ def fused_updet_rhs(u, taps, d0, mlp_params, interpret=False):
         interpret=interpret,
     )(u2, taps.reshape(1, 3), jnp.reshape(d0, (1, 1)), *flat_params)
     return out.reshape(N)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(4,))
+def fused_updet_rhs_diff(u, taps, d0, mlp_params, interpret=False):
+    """Differentiable fused RHS: Pallas kernel for the primal, XLA math for
+    the derivatives.
+
+    ``pallas_call``/``pltpu.roll`` carry no AD rules, so the raw kernel
+    cannot sit inside a training loss.  This wrapper attaches a
+    ``custom_jvp`` whose tangent rule is the JVP of the mathematically
+    identical XLA lowering (:func:`updet_rhs_xla`); JAX linearizes and
+    transposes that rule, so both ``jacfwd`` (ForwardSensitivity / LM
+    trainers) and ``jax.grad`` / the continuous adjoints work.  The primal
+    keeps the kernel's full-f32 VPU accuracy; tangents/cotangents are
+    computed at XLA's precision (f32 matmul precision is pinned
+    package-wide), which differs from the primal only at rounding level.
+    """
+    return fused_updet_rhs(u, taps, d0, mlp_params, interpret=interpret)
+
+
+@fused_updet_rhs_diff.defjvp
+def _fused_rhs_jvp(interpret, primals, tangents):
+    out = fused_updet_rhs_diff(*primals, interpret)
+    _, t_out = jax.jvp(updet_rhs_xla, primals, tangents)
+    return out, t_out
 
 
 def _kernel_gridded(n_layers, u_ref, halo_ref, taps_ref, d0_ref, *refs):

@@ -453,13 +453,16 @@ def select_by_simulation(
         inert = jnp.diag(1.0 - mflat)
 
         def body(s, _):
-            # J is carried and refreshed only after an accepted step: a
-            # rejected iteration leaves x unchanged, so recomputing the
-            # Jacobian there would reproduce the carried one bit-for-bit
-            # while paying the full tangent-batch cost (under vmap the cond
-            # is a select and the saving vanishes, but the unbatched path
-            # skips the jacfwd on rejections).
-            x, r, J, lv, lam = s
+            # J refreshes at the TOP of the body, gated on the previous
+            # step's acceptance: a rejected iteration leaves x unchanged, so
+            # recomputing there would reproduce the carried J bit-for-bit
+            # while paying the full tangent-batch cost.  Placing the cond
+            # here (not after the step) keeps the vmapped hot path — where
+            # cond lowers to a select and both branches run — at exactly one
+            # jacfwd per iteration, the same count as an unconditional
+            # recompute; the unbatched path additionally skips rejections.
+            x, r, J, lv, lam, acc_prev = s
+            J = jax.lax.cond(acc_prev, jac, lambda _x: J, x)
             g = J.T @ r
             H = J.T @ J
             A = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-10)) + inert
@@ -468,12 +471,13 @@ def select_by_simulation(
             l_new = jnp.sum(r_new * r_new)
             acc = (l_new < lv) & jnp.all(jnp.isfinite(r_new))
             lam = jnp.clip(jnp.where(acc, lam * 0.3, lam * 3.0), 1e-10, 1e10)
-            J_next = jax.lax.cond(acc, jac, lambda _x: J, x_new)
             return (jnp.where(acc, x_new, x), jnp.where(acc, r_new, r),
-                    J_next, jnp.where(acc, l_new, lv), lam), None
+                    J, jnp.where(acc, l_new, lv), lam, acc), None
 
-        (x, _, _, lv, _), _ = jax.lax.scan(
-            body, (x0, r0, jac(x0), loss0, jnp.asarray(1e-3, x0.dtype)), None,
+        J0 = jnp.zeros((n_res, x0.size), x0.dtype)
+        (x, _, _, lv, _, _), _ = jax.lax.scan(
+            body, (x0, r0, J0, loss0, jnp.asarray(1e-3, x0.dtype),
+                   jnp.asarray(True)), None,
             length=refit_iters)
         val = jnp.where(jnp.isfinite(lv), lv / n_res, jnp.inf)
         return val, x.reshape(C0.shape) * mask
