@@ -578,6 +578,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                   "err", "aicc", "loss_hist", "loss")
     t0 = time.time()
     results = []
+    chunk_marks = []  # cumulative seconds at each computed chunk's completion
     for c0 in range(0, n_runs, chunk):
         gname = f"loop_chunk_r{runs_per_level}_{c0:04d}"
         n_expect = min(c0 + chunk, n_runs) - c0
@@ -621,6 +622,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
             arch.save(gname, **dict(zip(chunk_keys, results[-1])))
         print(f"  {min(c0+chunk, n_runs)}/{n_runs} lanes done "
               f"({time.time()-t0:.0f}s)", flush=True)
+        chunk_marks.append(time.time() - t0)
     fields = [
         np.concatenate([np.asarray(r[i]) for r in results])
         for i in range(len(chunk_keys))
@@ -733,7 +735,8 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                 contains_sr3=contains_sr3.mean(axis=1).tolist(),
                 exact_sr3d=exact_sr3d.mean(axis=1).tolist(),
                 contains_sr3d=contains_sr3d.mean(axis=1).tolist(),
-                err=err.tolist(), aicc=aicc.tolist(), wall=wall)
+                err=err.tolist(), aicc=aicc.tolist(), wall=wall,
+                chunk_walls=chunk_marks)
 
 
 if __name__ == "__main__":
