@@ -247,8 +247,11 @@ def row_hjb(quick):
 
 def row_lv_throughput(quick):
     rl = _load_example("examples/lotka_volterra/run_loops.py")
+    # oracle=False: the row measures train+judge recovery throughput; the
+    # identifiability-ceiling arm is a study-quality artifact, not a cost
+    # of a recovery
     out = rl.main(runs_per_level=4 if quick else 20, archive=False,
-                  resume=False)
+                  resume=False, oracle=False)
     n_runs = (4 if quick else 20) * 5
     per_total = out["wall"] / n_runs * 1e3
     # steady-state ms/run: chunks after the first.  The first chunk carries
@@ -259,18 +262,25 @@ def row_lv_throughput(quick):
     # at ~420 — so the steady-state number is the reproducible one.  The
     # full wall is kept alongside in extra.
     marks = out["chunk_walls"]
+    restart_wall = out.get("restart_wall", 0.0)
     if len(marks) >= 2:
         lanes_per_chunk = n_runs / len(marks)
-        per = ((marks[-1] - marks[0])
+        # the gate-failure restart pass retrains failed lanes AFTER the
+        # chunk loop: its wall belongs in the steady-state window (it is
+        # real per-study work, not JIT warmup)
+        per = ((marks[-1] - marks[0] + restart_wall)
                / (n_runs - lanes_per_chunk) * 1e3)
     else:
         per = per_total
     return dict(metric="lv_recovery_ms_per_run", value=round(per, 0), unit="ms",
                 baseline=20000.0, vs_baseline=round(20000.0 / per, 1),
                 extra=dict(definition="steady-state ms per full train+judge "
-                           "recovery (first-chunk JIT/warmup excluded)",
+                           "recovery, incl. gate-failure retraining "
+                           "(first-chunk JIT/warmup excluded)",
                            total_wall_s=round(out["wall"], 1),
                            total_ms_per_run=round(per_total, 0),
+                           restart_wall_s=round(restart_wall, 1),
+                           restart_lanes=out.get("restart_lanes", 0),
                            first_chunk_s=round(marks[0], 1) if marks else None))
 
 

@@ -18,11 +18,17 @@ artifact for OUR shelf, giving every solver a measured placement:
   error at matched path counts, halving dt.
 
 Counts (num_rhs_evals) and errors are device-independent, so the harness
-forces CPU+x64 for clean reference errors; run anywhere.
+forces CPU+x64 for clean reference errors; run anywhere.  Each point also
+carries a measured ``time_s`` (median synchronized wall of the compiled
+solve on THIS host — the artifact records the platform so rounds compare
+like with like).
 
 Prints one JSON line per (set, solver, tol/dt) point:
-  {"set", "solver", "rtol"|"dt", "rhs_evals", "err"}
-``--plot`` writes the work-precision figures to benchmarks/plots/.
+  {"set", "solver", "rtol"|"dt", "rhs_evals", "err", "time_s"}
+``--out FILE`` commits the rows as the per-round artifact
+(e.g. benchmarks/work_precision_r04.json); ``--plot`` writes the
+work-precision figures to benchmarks/plots/; ``--from FILE`` re-plots from
+a committed artifact without re-measuring.
 """
 import argparse
 import json
@@ -42,11 +48,9 @@ import numpy as np
 import universal_differential_equations_tpu as ude
 from universal_differential_equations_tpu.models import climate_npde as cn
 from universal_differential_equations_tpu.models import lotka_volterra as lv
-from universal_differential_equations_tpu.solvers.sde import (
-    _brownian_increments,
-    sdeint,
-)
+from universal_differential_equations_tpu.solvers.sde import sdeint
 from universal_differential_equations_tpu.utils import enable_compilation_cache
+from universal_differential_equations_tpu.utils.profiling import benchmark
 
 RTOLS = tuple(10.0 ** -e for e in range(3, 10))
 
@@ -55,6 +59,15 @@ def _solve(prob, solver, rtol, saveat, max_steps=65536):
     sol = ude.solve(prob, solver, saveat=saveat, rtol=rtol, atol=rtol * 1e-2,
                     adjoint=ude.NoAdjoint(), max_steps=max_steps)
     return sol
+
+
+def _timed(prob, solver, rtol, saveat, max_steps=65536):
+    """Median synchronized wall of the compiled solve (the 'work' axis in
+    seconds; rhs_evals stays the device-independent work measure)."""
+    stats = benchmark(
+        lambda: _solve(prob, solver, rtol, saveat, max_steps).ys,
+        repeats=5, warmup=1)
+    return stats["median_s"]
 
 
 def nonstiff_set():
@@ -77,7 +90,8 @@ def nonstiff_set():
             err = float(np.abs(np.asarray(sol.ys) - ref_ys).max() / scale)
             rows.append(dict(set="lotka_volterra", solver=name, rtol=rtol,
                              rhs_evals=int(sol.num_rhs_evals),
-                             err=float(f"{err:.3g}")))
+                             err=float(f"{err:.3g}"),
+                             time_s=float(f"{_timed(prob, solver, rtol, ts):.3g}")))
     return rows
 
 
@@ -106,7 +120,8 @@ def stiff_set():
             err = float(np.abs(np.asarray(sol.ys) - ref_ys).max() / scale)
             rows.append(dict(set="climate_column", solver=name, rtol=rtol,
                              rhs_evals=int(sol.num_rhs_evals),
-                             err=float(f"{err:.3g}")))
+                             err=float(f"{err:.3g}"),
+                             time_s=float(f"{_timed(prob, solver, rtol, ts):.3g}")))
     return rows
 
 
@@ -129,22 +144,26 @@ def sde_set(n_paths=256):
             prob = ude.SDEProblem(f=f, g=g, u0=x0, tspan=(0.0, T))
 
             def one(key):
-                sol = sdeint(prob, solver, key=key, n_steps=n_steps)
-                # reconstruct this path's terminal Brownian value from the
-                # same counter-based increments the stepper consumed
-                h = jnp.asarray(T / n_steps, jnp.float64)
-                dws = _brownian_increments(key, n_steps, 1, h, jnp.float64)
+                # return_increments hands back the exact increments the
+                # stepper consumed — the supported reconstruction path (a
+                # private re-draw would silently break if sdeint's key
+                # consumption ever changed)
+                sol, dws = sdeint(prob, solver, key=key, n_steps=n_steps,
+                                  return_increments=True)
                 w_T = jnp.sum(dws)
                 exact = x0[0] * jnp.exp((mu - 0.5 * sigma**2) * T
                                         + sigma * w_T)
                 return jnp.abs(sol.ys[-1][0] - exact)
 
             errs = jax.vmap(one)(keys)
+            t_stats = benchmark(lambda: jax.vmap(one)(keys),
+                                repeats=5, warmup=1)
             rows.append(dict(set="gbm_strong", solver=name,
                              dt=float(T / n_steps),
                              rhs_evals=n_steps * (1 if name == "EulerMaruyama"
                                                   else 2),
-                             err=float(f"{float(jnp.mean(errs)):.3g}")))
+                             err=float(f"{float(jnp.mean(errs)):.3g}"),
+                             time_s=float(f"{t_stats['median_s']:.3g}")))
     return rows
 
 
@@ -152,26 +171,31 @@ def write_plots(rows):
     from universal_differential_equations_tpu import viz
 
     outdir = Path(__file__).resolve().parent / "plots"
-    for set_name, xlabel in (("lotka_volterra", "RHS evaluations"),
-                             ("climate_column", "RHS evaluations"),
-                             ("gbm_strong", "RHS evaluations")):
+    have_time = all("time_s" in r for r in rows)
+    axes_specs = [("rhs_evals", "RHS evaluations", "")]
+    if have_time:
+        axes_specs.append(("time_s", "wall time [s] (compiled, synced)",
+                           "_time"))
+    for set_name in ("lotka_volterra", "climate_column", "gbm_strong"):
         sub = [r for r in rows if r["set"] == set_name]
         if not sub:
             continue
-        fig, ax = viz.new_figure(4.8, 3.4)
-        solvers = sorted({r["solver"] for r in sub})
-        for i, s in enumerate(solvers):
-            pts = sorted(((r["rhs_evals"], r["err"]) for r in sub
-                          if r["solver"] == s))
-            ax.loglog([p[0] for p in pts], [max(p[1], 1e-16) for p in pts],
-                      "o-", color=viz.SERIES[i % len(viz.SERIES)],
-                      markersize=3.5, linewidth=1.2, label=s)
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel("max relative error" if set_name != "gbm_strong"
-                      else "mean strong error")
-        ax.set_title(f"work-precision: {set_name}")
-        ax.legend(fontsize=7)
-        viz.save(fig, outdir / f"work_precision_{set_name}.pdf")
+        for xkey, xlabel, suffix in axes_specs:
+            fig, ax = viz.new_figure(4.8, 3.4)
+            solvers = sorted({r["solver"] for r in sub})
+            for i, s in enumerate(solvers):
+                pts = sorted(((r[xkey], r["err"]) for r in sub
+                              if r["solver"] == s))
+                ax.loglog([p[0] for p in pts],
+                          [max(p[1], 1e-16) for p in pts],
+                          "o-", color=viz.SERIES[i % len(viz.SERIES)],
+                          markersize=3.5, linewidth=1.2, label=s)
+            ax.set_xlabel(xlabel)
+            ax.set_ylabel("max relative error" if set_name != "gbm_strong"
+                          else "mean strong error")
+            ax.set_title(f"work-precision: {set_name}")
+            ax.legend(fontsize=7)
+            viz.save(fig, outdir / f"work_precision_{set_name}{suffix}.pdf")
     print(f"plots written to {outdir}")
 
 
@@ -179,7 +203,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sets", default="nonstiff,stiff,sde")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--out", default=None,
+                    help="write rows to this JSON artifact "
+                         "(e.g. benchmarks/work_precision_r04.json)")
+    ap.add_argument("--from", dest="from_file", default=None,
+                    help="re-plot from a committed artifact, no re-measure")
     args = ap.parse_args()
+    if args.from_file:
+        payload = json.loads(Path(args.from_file).read_text())
+        write_plots(payload["rows"])
+        return
     enable_compilation_cache()
     rows = []
     sets = args.sets.split(",")
@@ -191,6 +224,12 @@ def main():
         rows += sde_set()
     for r in rows:
         print(json.dumps(r))
+    if args.out:
+        payload = dict(platform=jax.devices()[0].platform,
+                       device=str(jax.devices()[0]),
+                       x64=bool(jax.config.jax_enable_x64), rows=rows)
+        Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"wrote {args.out}")
     if args.plot:
         write_plots(rows)
 

@@ -80,20 +80,36 @@ HIST_STRIDE = 4  # archive every 4th training-loss sample (f16) per lane
 
 
 def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
-                aicc=None, loss_hist=None):
+                aicc=None, loss_hist=None, exact_o=None, contains_o=None):
     """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
     bars (:120-126) and the recovered-coefficient spread vs the true values
-    (re-plottable from the archive without retraining, like Plotfigs.jl)."""
+    (re-plottable from the archive without retraining, like Plotfigs.jl).
+    ``exact_o``/``contains_o``: optional oracle (identifiability-ceiling)
+    rates drawn as caps over the trained-arm bars."""
     from universal_differential_equations_tpu import viz
 
+    def _with_ceiling(fig, rates_o):
+        if rates_o is None:
+            return fig
+        ax = fig.axes[0]
+        x = np.arange(len(noise))
+        r = 100.0 * np.asarray(rates_o, dtype=float)
+        ax.plot(x, r, linestyle="none", marker="_", markersize=22,
+                markeredgewidth=1.8, color=viz.SERIES[1], zorder=5,
+                label="identifiability ceiling (oracle targets)")
+        ax.legend(fontsize=7, loc="lower left")
+        return fig
+
     outdir = Path(__file__).resolve().parent / "plots"
-    viz.save(viz.plot_success_rates(
+    viz.save(_with_ceiling(viz.plot_success_rates(
         noise, exact.mean(axis=1), counts=exact.shape[1],
         title="exact {x·y} structural recovery"),
+        None if exact_o is None else exact_o.mean(axis=1)),
         outdir / "loop_success_exact.pdf")
-    viz.save(viz.plot_success_rates(
+    viz.save(_with_ceiling(viz.plot_success_rates(
         noise, contains.mean(axis=1), counts=contains.shape[1],
         title="x·y term found (dominant physics)"),
+        None if contains_o is None else contains_o.mean(axis=1)),
         outdir / "loop_success_contains.pdf")
 
     c1 = np.asarray(c1)
@@ -487,6 +503,46 @@ def build_stages(mesh=None):
                 exact_sr3d, contains_sr3d, c1_sr3d, c2_sr3d,
                 err_l2, aicc)
 
+    beta, gamma = float(lv.P_TRUE[1]), float(lv.P_TRUE[2])
+
+    @jax.jit
+    @jax.vmap
+    def oracle_stage(key, mag):
+        """Identifiability-ceiling arm: the SAME selection stage (CV ladder
+        + LM simulation-refit judge, identical budgets) fed PERFECT training
+        targets — the true missing terms (−β·x·y, +γ·x·y) evaluated on the
+        lane's own noisy samples.  Training error is eliminated; what limits
+        this arm is only the information content of the 31 noisy samples, so
+        its per-level exact rate is the ceiling the trained arm is scored
+        against ("X% of a Y% ceiling").  The reference never computes such a
+        bound — its rates exist only at runtime (loop_evaluation.jl:102-130).
+        """
+        k_noise, _ = jax.random.split(key)  # same lane data as adam_stage
+        data = make_data(k_noise, mag)
+        Xh = data
+        Yh = jax.vmap(lambda u: jnp.stack([-beta * u[0] * u[1],
+                                           gamma * u[0] * u[1]]))(Xh)
+        theta_feat = basis.theta(Xh)
+
+        def ladder(y):
+            return sd.cv_ladder(theta_feat, y, opt_s, K_SEL, per_size=2,
+                                extra_supports=masks1)
+
+        sizes_r = jnp.repeat(jnp.arange(1, K_SEL + 1), 2)
+        C_sel, _, _ = sd.select_by_simulation(
+            [ladder(Yh[:, 0]), ladder(Yh[:, 1])], dense_rhs, data[0],
+            0.0, t_end, data, ude.Tsit5(), n_step, sub=SUB,
+            rel_factor=1.5, max_rel=1.0, refit_iters=REFIT_ITERS,
+            loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
+            max_total_support=MAX_TOTAL_SUPPORT, sizes=[sizes_r, sizes_r],
+            refit_top=REFIT_TOP, refit_method="lm")
+        act1 = C_sel[:, 0] != 0.0
+        act2 = C_sel[:, 1] != 0.0
+        want = jnp.zeros(m, bool).at[i_xy].set(True)
+        exact = jnp.all(act1 == want) & jnp.all(act2 == want)
+        contains = act1[i_xy] & act2[i_xy]
+        return exact, contains, C_sel[:, 0], C_sel[:, 1]
+
     def pipeline(keys_c, mags_c, attempt=0, probe=False):
         """One lane-chunk through the full train→recover pipeline; returns
         the per-chunk archive tuple (rec fields + final loss)."""
@@ -546,11 +602,45 @@ def build_stages(mesh=None):
     return types.SimpleNamespace(
         ts=ts, X=X, x_mean=x_mean, shard=shard,
         adam_stage=adam_stage, bfgs_round=bfgs_round, lm_round=lm_round,
-        recover_stage=recover_stage, pipeline=pipeline)
+        recover_stage=recover_stage, oracle_stage=oracle_stage,
+        pipeline=pipeline)
+
+
+def sample_thetas(per_level=2, runs_per_level=100,
+                  out="lane_theta_samples.npz"):
+    """Train the study's first ``per_level`` lanes per noise level (the SAME
+    keys the 500-run study uses) and archive their trained parameter
+    vectors + noisy initial states.  These are the actual trained-lane
+    parameter excursions ``tests/test_lv_pipeline.py``'s lane-solver
+    contract test integrates through — pinning that fixed-step Tsit5 at
+    SUB=4 matches adaptive Vern7 at 1e-6 (the reference's training solver,
+    loop_recoveries.jl:31-47) on the parameters training actually visits,
+    not just on the true LV field."""
+    st = build_stages()
+    n_levels = len(NOISE_LEVELS)
+    keys = jax.random.split(jax.random.PRNGKey(42),
+                            n_levels * runs_per_level)
+    idx = np.concatenate([np.arange(l * runs_per_level,
+                                    l * runs_per_level + per_level)
+                          for l in range(n_levels)])
+    mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32), per_level)
+    att = jnp.zeros((idx.size,), jnp.int32)
+    theta, data, _ = st.adam_stage(keys[jnp.asarray(idx)], mags, att)
+    loss = None
+    for _ in range(BFGS_ROUNDS):
+        theta, loss, _ = st.bfgs_round(theta, data)
+    for _ in range(LM_ROUNDS):
+        theta, loss = st.lm_round(theta, data)
+    path = Path(__file__).parent / "results" / out
+    np.savez(path, theta=np.asarray(theta), mag=np.asarray(mags),
+             u0=np.asarray(data[:, 0, :]), loss=np.asarray(loss),
+             lane=idx)
+    print(f"archived {idx.size} trained-lane parameter draws to {path}")
+    print("  final losses:", np.round(np.asarray(loss), 5))
 
 
 def main(runs_per_level=100, plot=False, resume=True, archive=True,
-         mesh=None, chunk=CHUNK, assert_gates=True):
+         mesh=None, chunk=CHUNK, assert_gates=True, oracle=True):
     """Drive the full noise-robustness study; see :func:`build_stages` for
     the mesh semantics.  ``chunk`` must divide by the mesh size."""
     n_levels = len(NOISE_LEVELS)
@@ -635,6 +725,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     # gate-failing lane gets ONE second init key — same noisy dataset —
     # and counts failed only if both attempts miss the gate.
     idx_fail = np.nonzero(~fields[2].astype(bool))[0]
+    restart_wall = 0.0  # retraining seconds actually spent (0 when resumed)
     if idx_fail.size:
         gname = f"loop_restart_r{runs_per_level}"
         parts2 = None
@@ -645,6 +736,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                 parts2 = tuple(np.asarray(g[k]) for k in chunk_keys)
                 print(f"  restart pass resumed from {gname}", flush=True)
         if parts2 is None:
+            t_restart = time.time()
             # pad to the compiled CHUNK batch size so no new XLA program
             # is built for the (dynamic-size) failed set; with very few
             # failed lanes most of the padded chunk is duplicate compute,
@@ -659,6 +751,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                     for r0 in range(0, idx_p.size, chunk)]
             parts2 = tuple(np.concatenate([np.asarray(o[i]) for o in outs])
                            for i in range(len(chunk_keys)))
+            restart_wall = time.time() - t_restart
             if archive:
                 arch.save(gname, idx=jnp.asarray(idx_fail),
                           **dict(zip(chunk_keys, parts2)))
@@ -698,6 +791,54 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
               f"{contains_sr3d[lvl].mean():8.1%} | "
               f"{exact_sr3d[lvl].mean():10.1%}")
 
+    exact_o = contains_o = None
+    oracle_wall = 0.0
+    if oracle:
+        # identifiability-ceiling pass: selection-only, no training — one
+        # oracle_stage dispatch per lane chunk (same watchdog budget as the
+        # recovery stage), resumable like the training chunks
+        t_or = time.time()
+        oracle_keys = ("exact_o", "contains_o", "coef1_o", "coef2_o")
+        o_parts = []
+        for c0 in range(0, n_runs, chunk):
+            gname = f"loop_oracle_r{runs_per_level}_{c0:04d}"
+            n_expect = min(c0 + chunk, n_runs) - c0
+            if resume and gname in arch:
+                g = arch.load(gname)
+                if (all(k in g for k in oracle_keys)
+                        and np.asarray(g["exact_o"]).shape[0] == n_expect):
+                    o_parts.append(tuple(np.asarray(g[k])
+                                         for k in oracle_keys))
+                    continue
+            idx = np.arange(c0, min(c0 + chunk, n_runs))
+            n_real = idx.size
+            if mesh is not None and n_real % mesh.size:
+                idx = np.concatenate(
+                    [idx, np.full((-n_real) % chunk, c0, idx.dtype)])
+            out_o = st.oracle_stage(st.shard(keys[jnp.asarray(idx)]),
+                                    st.shard(noise_mags[jnp.asarray(idx)]))
+            out_o = tuple(np.asarray(o[:n_real]) for o in out_o)
+            o_parts.append(out_o)
+            if archive:
+                arch.save(gname, **dict(zip(oracle_keys, out_o)))
+            print(f"  oracle {min(c0 + chunk, n_runs)}/{n_runs} lanes "
+                  f"({time.time() - t_or:.0f}s)", flush=True)
+        exact_o, contains_o, c1_o, c2_o = (
+            np.concatenate([p[i] for p in o_parts]) for i in range(4))
+        oracle_wall = time.time() - t_or
+        exact_o = exact_o.reshape(n_levels, runs_per_level)
+        contains_o = contains_o.reshape(n_levels, runs_per_level)
+        print("identifiability ceiling (same selection on perfect training "
+              "targets — true ±x·y terms at the lane's noisy samples):")
+        print(f"{'noise':>8} | {'ceiling x*y':>11} | {'ceiling exact':>13} "
+              f"| {'trained exact / ceiling':>23}")
+        for lvl, mag in enumerate(NOISE_LEVELS):
+            ce = exact_o[lvl].mean()
+            tr = exact[lvl].mean()
+            frac = tr / ce if ce > 0 else float("nan")
+            print(f"{mag:8.0e} | {contains_o[lvl].mean():11.1%} | "
+                  f"{ce:13.1%} | {tr:.1%} of {ce:.1%} = {frac:8.1%}")
+
     if archive:
         arch.save("loop_study", exact=jnp.asarray(exact),
                   contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
@@ -712,11 +853,17 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                   coef1_sr3d=jnp.asarray(c1_sr3d),
                   coef2_sr3d=jnp.asarray(c2_sr3d),
                   err=jnp.asarray(err), aicc=jnp.asarray(aicc),
-                  loss_hist=jnp.asarray(loss_hist))
+                  loss_hist=jnp.asarray(loss_hist),
+                  **(dict(exact_oracle=jnp.asarray(exact_o),
+                          contains_oracle=jnp.asarray(contains_o),
+                          coef1_oracle=jnp.asarray(c1_o),
+                          coef2_oracle=jnp.asarray(c2_o))
+                     if exact_o is not None else {}))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
-                    fin_loss, err=err, aicc=aicc, loss_hist=loss_hist)
+                    fin_loss, err=err, aicc=aicc, loss_hist=loss_hist,
+                    exact_o=exact_o, contains_o=contains_o)
     # gates at the measured band minus a reproducibility margin (measured
     # r2 full study with the restart pass: contains 96/96%, exact 96/95%
     # at 1e-3/5e-3); small runs keep a wider margin — at 4/level one
@@ -736,7 +883,13 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                 exact_sr3d=exact_sr3d.mean(axis=1).tolist(),
                 contains_sr3d=contains_sr3d.mean(axis=1).tolist(),
                 err=err.tolist(), aicc=aicc.tolist(), wall=wall,
-                chunk_walls=chunk_marks)
+                chunk_walls=chunk_marks, restart_wall=restart_wall,
+                restart_lanes=int(idx_fail.size),
+                exact_oracle=(exact_o.mean(axis=1).tolist()
+                              if exact_o is not None else None),
+                contains_oracle=(contains_o.mean(axis=1).tolist()
+                                 if contains_o is not None else None),
+                oracle_wall=oracle_wall)
 
 
 if __name__ == "__main__":
@@ -746,6 +899,10 @@ if __name__ == "__main__":
                     help="write loop_evaluation.jl figure analogues")
     ap.add_argument("--plot-only", action="store_true",
                     help="re-plot from the saved archive without retraining")
+    ap.add_argument("--theta-samples", action="store_true",
+                    help="train 2 study lanes per noise level and archive "
+                         "their trained parameter vectors (the solver-"
+                         "contract test's excursion draws)")
     ap.add_argument("--fresh", action="store_true",
                     help="discard per-chunk checkpoints and recompute "
                          "(default resumes an interrupted study, the "
@@ -760,10 +917,13 @@ if __name__ == "__main__":
                          f"≤ {CHUNK})")
     args = ap.parse_args()
     if args.fresh:
-        for pat in ("loop_chunk_*.npz", "loop_restart_*.npz"):
+        for pat in ("loop_chunk_*.npz", "loop_restart_*.npz",
+                    "loop_oracle_*.npz"):
             for p in (Path(__file__).parent / "results").glob(pat):
                 p.unlink()
-    if args.plot_only:
+    if args.theta_samples:
+        sample_thetas()
+    elif args.plot_only:
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
                         z["noise"],
@@ -771,7 +931,11 @@ if __name__ == "__main__":
                         err=z["err"] if "err" in z.files else None,
                         aicc=z["aicc"] if "aicc" in z.files else None,
                         loss_hist=(z["loss_hist"]
-                                   if "loss_hist" in z.files else None))
+                                   if "loss_hist" in z.files else None),
+                        exact_o=(z["exact_oracle"]
+                                 if "exact_oracle" in z.files else None),
+                        contains_o=(z["contains_oracle"]
+                                    if "contains_oracle" in z.files else None))
     else:
         mesh = None
         chunk = args.chunk or CHUNK

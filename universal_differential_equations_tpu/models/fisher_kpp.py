@@ -169,7 +169,9 @@ def _use_fused(u) -> bool:
         return True
     default_dev = jax.config.jax_default_device
     if default_dev is not None:
-        return default_dev.platform == "tpu"
+        # jax accepts either a Device object or a platform string here
+        # (jax.config.update("jax_default_device", "cpu"))
+        return getattr(default_dev, "platform", default_dev) == "tpu"
     return jax.default_backend() == "tpu"
 
 

@@ -92,12 +92,19 @@ def sdeint(
     n_steps: Optional[int] = None,
     saveat=None,
     checkpoint: bool = True,
+    return_increments: bool = False,
 ):
     """Fixed-grid SDE integration, differentiable through the path.
 
     Provide ``n_steps`` (or ``dt``); ``saveat`` defaults to the endpoints.
     Vmap over ``key`` for trajectory batching (``trajectories=m`` of the
     reference) — e.g. ``jax.vmap(lambda k: sdeint(prob, key=k, ...))(keys)``.
+
+    ``return_increments=True`` returns ``(solution, dws)`` where ``dws`` is
+    the ``(n_steps, m)`` Brownian-increment array the stepper actually
+    consumed — the supported way for exact-solution comparisons (e.g. GBM
+    strong-error curves) to reconstruct the path, immune to future changes
+    in how this function derives its draws from ``key``.
     """
     solver = EulerMaruyama() if solver is None else solver
     t0, t1 = problem.tspan
@@ -145,13 +152,14 @@ def sdeint(
         idx = jnp.clip(jnp.round((ts - t0) / h).astype(jnp.int32), 0, n_steps)
     ys = ys_grid[idx]
     ok = jnp.all(jnp.isfinite(ys_grid[-1]))
-    return SDESolution(
+    sol = SDESolution(
         ts=ts,
         ys=jax.vmap(unravel)(ys),
         y_final=unravel(y_final),
         success=ok,
         num_steps=jnp.asarray(n_steps, jnp.int32),
     )
+    return (sol, dws) if return_increments else sol
 
 
 @dataclasses.dataclass(frozen=True)
