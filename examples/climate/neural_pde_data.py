@@ -80,6 +80,66 @@ def load_or_generate(quick: bool, source: str):
                               key=jax.random.PRNGKey(1)) + ("generated",)
 
 
+REF_PROTOCOL_JSON = os.path.join(os.path.dirname(__file__), "data",
+                                 "npde_ref_protocol.json")
+
+
+def reference_protocol_bar(rhs, u0, tspan, ts, data, eig, params0):
+    """Reproduce the reference's OWN training protocol as the comparison bar
+    (VERDICT r3 #4): the exact 5-layer/tanh net it builds (the caller passes
+    the same ``params0``), plain full-batch ADAM(0.01) for 20 steps
+    (``npde_data.jl:107-109`` — no clipping, no skip-nonfinite, final
+    params kept, the Flux.train! semantics), at its training tolerances
+    reltol=1e-5/abstol=1e-6 (``npde_data.jl:80``), evaluated with the SAME
+    stabilized-rollout rel-L2 metric the main run reports.  The reference
+    commits only a figure and a 0.879 s/grad timing for this script, so the
+    bar must be *measured*, not assumed.  Results land in
+    ``data/npde_ref_protocol.json`` for the main run's comparison assert.
+    """
+    train_solver = ude.ROCK4.for_problem(eig * 2.5, tspan, n_steps_hint=200)
+
+    def loss_fn(p):
+        sol = ude.solve(
+            ude.ODEProblem(rhs, u0, tspan, p), train_solver,
+            saveat=ts, rtol=1e-5, atol=1e-6,
+            adjoint=ude.InterpolatingAdjoint(), max_steps=8192,
+        )
+        return jnp.sum((sol.ys - data) ** 2)
+
+    losses = []
+
+    def cb(step, l, p):
+        losses.append(float(l))
+        print(f"  protocol step {step:3d}  loss {l:.4e}", flush=True)
+        return False
+
+    t0 = time.time()
+    res = ude.fit(loss_fn, params0, optax.adam(0.01), 20,
+                  callback_every=1, callback=cb)
+    wall = time.time() - t0
+    rkc = ude.ROCK4.for_problem(eig * 1.1, tspan, n_steps_hint=60)
+    sol = ude.solve(ude.ODEProblem(rhs, u0, tspan, res.params), rkc,
+                    saveat=ts, rtol=1e-3, atol=1e-4,
+                    adjoint=ude.NoAdjoint(), max_steps=8192)
+    ok = bool(sol.success) and bool(jnp.all(jnp.isfinite(sol.ys)))
+    rel = (float(jnp.linalg.norm(sol.ys - data) / jnp.linalg.norm(data))
+           if ok else float("inf"))
+    payload = {"rel_l2": rel, "rollout_success": ok,
+               "final_loss": float(res.final_loss), "losses": losses,
+               "wall_s": round(wall, 1),
+               "protocol": "npde_data.jl:107-109 ADAM(0.01) x 20, "
+                           "rtol 1e-5/atol 1e-6, final params"}
+    import json
+
+    os.makedirs(os.path.dirname(REF_PROTOCOL_JSON), exist_ok=True)
+    with open(REF_PROTOCOL_JSON, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"reference-protocol bar: rollout rel-L2 = {rel}, "
+          f"final loss {float(res.final_loss):.4e} in {wall:.1f}s "
+          f"-> {REF_PROTOCOL_JSON}")
+    return payload
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -91,6 +151,11 @@ def main():
                          "Oceananigans averages at the full 128 z-levels "
                          "(npde_data.jl:41-55, like-for-like); 'generated' "
                          "uses the self-generated RT dataset")
+    ap.add_argument("--reference-bar", action="store_true",
+                    help="run ONLY the reproduced reference-protocol "
+                         "training (20xADAM(0.01), npde_data.jl:107-109) "
+                         "and archive its rollout rel-L2 as the comparison "
+                         "bar; the normal run asserts against it")
     # internal crash-recovery handoff (reference mode re-execs itself after
     # a TPU worker crash — the in-process jax client does not survive one,
     # even through jax.extend.backend.clear_backends(); measured)
@@ -132,6 +197,10 @@ def main():
 
     def rhs(tt, u, p):
         return D1 @ net.apply(p, u) + D2 @ u
+
+    if args.reference_bar:
+        reference_protocol_bar(rhs, u0, tspan, ts, data, eig, params0)
+        return
 
     if source == "reference":
         # the reference's training configuration (npde_data.jl:76-82):
@@ -311,6 +380,20 @@ def main():
             # (measured: best 381/1587 = 0.24*l0 at 40 steps)
             assert best["loss"] < 0.3 * l0, "training did not reduce loss 3x"
             assert bool(sol.success) and rel < 0.7
+            # the reproduced reference-protocol bar (--reference-bar run,
+            # VERDICT r3 #4): our rollout must be at least as close to the
+            # data as the reference's own 20-step ADAM(0.01) fit, measured
+            # with the identical metric
+            if os.path.exists(REF_PROTOCOL_JSON):
+                import json
+
+                with open(REF_PROTOCOL_JSON) as f:
+                    bar = json.load(f)
+                print(f"reference-protocol bar: rel-L2 {bar['rel_l2']} "
+                      f"(ours {rel:.4f})")
+                assert rel <= bar["rel_l2"], (
+                    f"rollout rel-L2 {rel:.4f} worse than the reproduced "
+                    f"reference protocol's {bar['rel_l2']}")
         else:
             assert best["loss"] < 0.2 * l0, "training did not reduce loss 5x"
             assert bool(sol.success) and rel < 0.6

@@ -26,7 +26,21 @@ was the selection stage — per_size=2 ladders + exhaustive smallest-size
 refits, refit_top=(4,2,2,2) — because the pre-refit ranking, not the
 information content, was discarding the true structure.  Distinct from
 that: re-initing lanes that FAIL the fit gate (the restart pass below)
-rescues ~90% of them and lifted exact rates to 96/95/93/79/53%.)
+rescues ~90% of them and lifted exact rates to 96/95/93/79/53%.
+
+The oracle arm (``oracle_stage``) puts the same selection stage's ceiling
+at ~100/100/100/100/95% on PERFECT training targets, so the residual
+high-noise gap is field-estimation error of the trained NN, not selection.
+Training-side closure attempts, all measured on 50 study lanes per level
+(r4): x64-host float64 LM polish from the f32 end — no change (66→66% at
+2.5e-2, 54→52% at 5e-2; the f32 stages already sit at the noise-dominated
+loss floor); kernel-smoothing the data before the quasi-Newton rounds at
+bandwidths 0.4/0.2/0.15, with and without a noisy-data LM finish — ALL
+worse than base (best variant 48% vs 54% at 5e-2; the smoothing bias on
+the LV peaks exceeds what the noise averaging buys).  Minimum-MSE fitting
+of 31 samples at 5e-2 noise simply does not localize the field to
+selection accuracy; a better estimator would need different statistics,
+not a better optimizer.)
 
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
@@ -345,7 +359,14 @@ def build_stages(mesh=None):
     def lane_resid(theta, data):
         # fixed-step Tsit5: the adaptive machinery is latency-bound inside
         # lockstep BFGS lanes; 4 substeps per save interval resolves the LV
-        # dynamics well below the f32 floor at ~6x the speed
+        # dynamics well below each lane's noise floor at ~6x the speed.
+        # That claim is PINNED by tests/test_lv_pipeline.py::
+        # test_lane_solver_contract_fixed_tsit5_matches_vern7 against
+        # adaptive Vern7 at 1e-6 (the reference's training solver,
+        # loop_recoveries.jl:31-47): ≤1e-5 deviation on the true field,
+        # ≤25% of the lane's per-point noise perturbation on trained-lane
+        # θ excursions archived by --theta-samples (measured: most ≤2e-4;
+        # worst rough-field net 14% of its noise scale at 5e-2)
         _, ys = integrate_fixed(rhs, data[0], 0.0, t_end, unravel(theta),
                                 ude.Tsit5(), n_step)
         return (ys[::SUB] - data).ravel()
@@ -606,11 +627,13 @@ def build_stages(mesh=None):
         pipeline=pipeline)
 
 
-def sample_thetas(per_level=2, runs_per_level=100,
+def sample_thetas(per_level=5, runs_per_level=100,
                   out="lane_theta_samples.npz"):
     """Train the study's first ``per_level`` lanes per noise level (the SAME
     keys the 500-run study uses) and archive their trained parameter
-    vectors + noisy initial states.  These are the actual trained-lane
+    vectors + noisy initial states.  The default 5/level makes a 25-lane
+    batch — exactly the study's compiled CHUNK shape, so the stage programs
+    come straight from the XLA cache.  These are the actual trained-lane
     parameter excursions ``tests/test_lv_pipeline.py``'s lane-solver
     contract test integrates through — pinning that fixed-step Tsit5 at
     SUB=4 matches adaptive Vern7 at 1e-6 (the reference's training solver,

@@ -149,6 +149,20 @@ class _ContinuousAdjoint(AbstractAdjoint):
 
     def run(self, f, y0, t0, t1, args, ts_save, solver, controller, rtol, atol,
             dt0, max_steps, tstops=None):
+        # The custom_vjp machinery ravels ``args`` into the adjoint state, so
+        # every leaf must be inexact (the module-docstring constraint).  Catch
+        # it here with a named error instead of a tracer stack from ravel.
+        bad = [f"{jax.tree_util.keystr(path)} (dtype {jnp.asarray(leaf).dtype})"
+               for path, leaf in jax.tree_util.tree_leaves_with_path(args)
+               if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)]
+        if bad:
+            raise TypeError(
+                f"{type(self).__name__} requires problem.args to be a pytree "
+                f"of floating-point (inexact) arrays, but got: "
+                f"{', '.join(bad)}. Cast the leaves to float, or move static "
+                f"integer configuration into the RHS closure, or use "
+                f"DiscreteAdjoint (which differentiates through the stepper "
+                f"and leaves non-inexact args alone).")
         out = _cont_solve(
             f, solver, controller, rtol, atol, dt0, max_steps, self,
             y0, t0, t1, args, ts_save, tstops,

@@ -26,6 +26,30 @@ from .solvers.runge_kutta import Tsit5
 __all__ = ["solve"]
 
 
+def _check_saveat_in_tspan(ts, t0, t1):
+    """Reject concrete saveat values outside tspan up front.
+
+    The dense-output fill clamps to the integrated interval, so an out-of-
+    range save time would otherwise return the endpoint value silently — a
+    wrong answer, not an error.  Skipped when times are tracers (a jit-
+    abstracted tspan is the caller's contract to keep consistent).
+    """
+    import numpy as np
+
+    try:
+        ts_c, t0_c, t1_c = np.asarray(ts), float(t0), float(t1)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError, TypeError):
+        return
+    lo, hi = min(t0_c, t1_c), max(t0_c, t1_c)
+    slack = 1e-6 * max(1.0, hi - lo)  # f32 rounding of user-computed grids
+    if ts_c.size and (ts_c.min() < lo - slack or ts_c.max() > hi + slack):
+        raise ValueError(
+            f"saveat times span [{ts_c.min()}, {ts_c.max()}] but tspan is "
+            f"({t0_c}, {t1_c}): values outside tspan would be clamped to the "
+            f"endpoint by dense output. Extend tspan or trim saveat.")
+
+
 def solve(
     problem,
     solver=None,
@@ -103,6 +127,24 @@ def solve(
         ts = jnp.asarray(saveat, dtype)
         if ts.ndim != 1:
             raise ValueError("saveat must be a 1-D array of times")
+        _check_saveat_in_tspan(ts, t0, t1)
+
+    # Trace the RHS once on the initial state (shape-only, zero FLOPs) so a
+    # u0/args/f mismatch surfaces as a named error at the solve() boundary
+    # instead of a broadcasting failure deep inside the stepper.
+    try:
+        du_shape = jax.eval_shape(f_flat, jnp.asarray(t0, dtype), y0_flat,
+                                  problem.args)
+    except Exception as e:
+        raise TypeError(
+            f"problem.f failed when evaluated on the initial state "
+            f"(u0 ravels to shape {y0_flat.shape}): {type(e).__name__}: {e}"
+        ) from e
+    if du_shape.shape != y0_flat.shape:
+        raise ValueError(
+            f"problem.f returned a pytree that ravels to shape "
+            f"{du_shape.shape}, but u0 ravels to {y0_flat.shape} — du must "
+            f"match the state (check remake(...) updates for shape drift)")
 
     tstops = ts if step_to_saveat else None
     ys_flat, res = adjoint.run(

@@ -292,6 +292,55 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
     return state, z, chunk, dx
 
 
+def tracer_step_seconds(
+    N: int = 128,
+    ni: int = 50,
+    repeats: int = 5,
+    dtype=jnp.float32,
+    mesh=None,
+):
+    """Steady-state wall-clock per forced-tracer solver step at the
+    reference's 128³ grid (``advection_diffusion_3d.jl:11-16`` — N=128,
+    κ=0.05; the reference commits no timing for this generator, so the row
+    has no baseline).  Times the jitted ``ni``-step Heun chunk post-compile
+    and returns seconds per step; ``mesh`` exercises the spatially-sharded
+    path on a device mesh instead."""
+    from ..utils import benchmark
+
+    dx = (1.0 / N,) * 3
+    z = (jnp.arange(N, dtype=dtype) + 0.5) * dx[2]
+    c = jnp.exp(-200.0 * (z - 0.75) ** 2)[None, None, :] * jnp.ones(
+        (N, N, 1), dtype)
+    kappa = 0.05
+
+    def rhs(c):
+        F = jnp.cos(jnp.sin(c**3)) + jnp.sin(jnp.cos(c**2))
+        return kappa * _lap_neumann_z(c, dx) + F
+
+    def chunk_fn(c, dt):
+        def step(c, _):
+            k1 = rhs(c)
+            k2 = rhs(c + dt * k1)
+            return c + 0.5 * dt * (k1 + k2), None
+
+        c, _ = jax.lax.scan(step, c, None, length=ni)
+        return c, jnp.max(jnp.abs(rhs(c)))
+
+    if mesh is None:
+        chunk = jax.jit(chunk_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        rep = NamedSharding(mesh, PartitionSpec())
+        c = jax.device_put(c, sh)
+        chunk = jax.jit(chunk_fn, in_shardings=(sh, rep),
+                        out_shardings=(sh, rep))
+    dt = jnp.asarray(1e-4, dtype)
+    stats = benchmark(chunk, c, dt, repeats=repeats, warmup=1)
+    return stats["min_s"] / ni
+
+
 def rt_step_seconds(
     N: Tuple[int, int, int] = (128, 2, 128),
     ni: int = 10,

@@ -37,8 +37,8 @@ def collocate_data(X, t, kernel: str = "gaussian", bandwidth=None):
     t = jnp.asarray(t, X.dtype)
     N = t.shape[0]
     if bandwidth is None:
-        spacing = jnp.median(jnp.diff(t))
-        bandwidth = 4.0 * float(spacing)
+        # stays a traced scalar so collocate_data works under jit/vmap
+        bandwidth = 4.0 * jnp.median(jnp.diff(t))
     K = _KERNELS[kernel]
 
     dt = t[None, :] - t[:, None]  # dt[i, j] = t_j - t_i
