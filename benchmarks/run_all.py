@@ -291,7 +291,13 @@ def row_lv_throughput(quick):
                            total_ms_per_run=round(per_total, 0),
                            restart_wall_s=round(restart_wall, 1),
                            restart_lanes=out.get("restart_lanes", 0),
-                           first_chunk_s=round(marks[0], 1) if marks else None))
+                           first_chunk_s=round(marks[0], 1) if marks else None,
+                           # VERDICT r3 #6: device-compute vs tunnel-dispatch
+                           # attribution of a steady-state chunk (measured
+                           # null-RTT x dispatch count; device share is a
+                           # lower bound since host runahead hides part of
+                           # the dispatch latency)
+                           probe=out.get("probe", {})))
 
 
 def row_rt_step(quick):

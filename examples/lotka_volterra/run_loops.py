@@ -564,9 +564,28 @@ def build_stages(mesh=None):
         contains = act1[i_xy] & act2[i_xy]
         return exact, contains, C_sel[:, 0], C_sel[:, 1]
 
+    probe_stats = {}
+
     def pipeline(keys_c, mags_c, attempt=0, probe=False):
         """One lane-chunk through the full train→recover pipeline; returns
-        the per-chunk archive tuple (rec fields + final loss)."""
+        the per-chunk archive tuple (rec fields + final loss).
+
+        ``probe=True`` adds per-stage sync points and measures the tunnel's
+        null-dispatch round trip, writing a device-compute vs dispatch-
+        latency attribution of the chunk into ``probe_stats`` (read as
+        ``st.probe_stats`` after the call; the steady-state probe — the
+        second computed chunk — is what the benchmark row archives)."""
+        if probe:
+            # null-dispatch RTT: a cached trivial program round trip — the
+            # per-dispatch cost the tunnel adds regardless of compute
+            # (CLAUDE.md: drifts 24-69 ms between sessions, so it must be
+            # measured HERE, not assumed)
+            null = jax.jit(lambda x: x + 1.0)
+            jax.block_until_ready(null(jnp.zeros(())))
+            t_n = time.time()
+            for _ in range(10):
+                jax.block_until_ready(null(jnp.zeros(())))
+            rtt = (time.time() - t_n) / 10
         t_s = time.time()
         keys_c, mags_c = shard(keys_c), shard(mags_c)
         att = shard(jnp.full((keys_c.shape[0],), attempt, jnp.int32))
@@ -612,11 +631,34 @@ def build_stages(mesh=None):
         if probe:
             jax.block_until_ready(rec[0])
             n_l = theta.shape[0]
-            print(f"  stage walls (chunk 0, {n_l} lanes, ms/lane): "
+            t_rec = time.time() - t_s
+            total = t_adam + t_bfgs + t_lm + t_rec
+            # dispatch attribution: the chunk issues 1 adam + BFGS_ROUNDS +
+            # LM_ROUNDS + ceil(n/RECOVER_CHUNK) device programs; each pays
+            # ~one null RTT of tunnel latency (host runahead can hide part
+            # of it, so this bounds dispatch cost from above and device
+            # share from below)
+            n_disp = (1 + BFGS_ROUNDS + LM_ROUNDS
+                      + -(-n_l // RECOVER_CHUNK))
+            disp = n_disp * rtt
+            probe_stats.update(
+                rtt_ms=round(rtt * 1e3, 1), n_dispatches=n_disp,
+                chunk_wall_s=round(total, 2), lanes=n_l,
+                dispatch_s=round(disp, 2),
+                device_time_share=round(1.0 - disp / total, 3),
+                stage_walls_ms_per_lane=dict(
+                    adam=round(t_adam / n_l * 1e3),
+                    bfgs=round(t_bfgs / n_l * 1e3),
+                    lm=round(t_lm / n_l * 1e3),
+                    recover=round(t_rec / n_l * 1e3)))
+            print(f"  stage walls ({n_l} lanes, ms/lane): "
                   f"adam {t_adam / n_l * 1e3:.0f}, "
                   f"bfgs {t_bfgs / n_l * 1e3:.0f}, "
                   f"lm {t_lm / n_l * 1e3:.0f}, "
-                  f"recover {(time.time() - t_s) / n_l * 1e3:.0f}",
+                  f"recover {t_rec / n_l * 1e3:.0f} | "
+                  f"null RTT {rtt * 1e3:.0f} ms x {n_disp} dispatches "
+                  f"-> device share >= "
+                  f"{probe_stats['device_time_share']:.0%}",
                   flush=True)
         return rec + (hist, loss)
 
@@ -624,7 +666,7 @@ def build_stages(mesh=None):
         ts=ts, X=X, x_mean=x_mean, shard=shard,
         adam_stage=adam_stage, bfgs_round=bfgs_round, lm_round=lm_round,
         recover_stage=recover_stage, oracle_stage=oracle_stage,
-        pipeline=pipeline)
+        pipeline=pipeline, probe_stats=probe_stats)
 
 
 def sample_thetas(per_level=5, runs_per_level=100,
@@ -725,7 +767,10 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
         idx = jnp.asarray(idx)
         # stage-wall breakdown on the first computed chunk (sync points cost
         # nothing there and show where the per-recovery budget actually goes)
-        rec = pipeline(keys[idx], noise_mags[idx], probe=not results)
+        # probe chunks 0 AND 1: chunk 0 shows where compile goes, chunk 1
+        # is the steady-state stage-wall + dispatch attribution the
+        # benchmark archives (probe_stats keeps the last = steady one)
+        rec = pipeline(keys[idx], noise_mags[idx], probe=len(results) <= 1)
         rec = tuple(r[:n_real] for r in rec)
         results.append(rec)
         jax.block_until_ready(results[-1][0])
@@ -908,6 +953,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                 err=err.tolist(), aicc=aicc.tolist(), wall=wall,
                 chunk_walls=chunk_marks, restart_wall=restart_wall,
                 restart_lanes=int(idx_fail.size),
+                probe=dict(st.probe_stats),
                 exact_oracle=(exact_o.mean(axis=1).tolist()
                               if exact_o is not None else None),
                 contains_oracle=(contains_o.mean(axis=1).tolist()

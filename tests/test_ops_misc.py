@@ -208,3 +208,24 @@ def test_fisher_kpp_variant_matrix_param_counts():
         assert flat.size == n_rx, (variant, flat.size)
         out = rhs(0.0, jnp.linspace(0.1, 0.9, 26), params)
         assert out.shape == (26,) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_profiler_trace_produces_loadable_artifacts(tmp_path):
+    """`utils.profiling.trace` is the production profiling hook (SURVEY §5);
+    this is its in-tree consumer so a jax.profiler API drift is caught here
+    instead of in a user's hands (VERDICT r3 weak #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from universal_differential_equations_tpu.utils.profiling import trace
+
+    logdir = tmp_path / "trace"
+    with trace(str(logdir)) as where:
+        y = jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64)))
+        jax.block_until_ready(y)
+    assert where == str(logdir)
+    # the TensorBoard plugin layout: plugins/profile/<run>/ with at least
+    # one .xplane.pb (or legacy .trace.json.gz) event container
+    produced = list(logdir.rglob("*.xplane.pb")) + list(
+        logdir.rglob("*.trace.json.gz"))
+    assert produced, f"no profiler artifacts under {logdir}"
