@@ -586,3 +586,167 @@ def test_select_by_simulation_refit_top_rescues_hidden_truth():
     assert (sel2 == true_active).all(), "refit_top=2 missed the truth"
     np.testing.assert_allclose(np.asarray(C2), np.asarray(C_true), atol=3e-2)
     assert float(loss2) <= float(loss1) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Weak-form (integral) regression — sindy/weak.py (C19/C20 extension)
+
+
+def _lv_trajectory(noise=0.0, key=None):
+    """Reference-protocol LV samples: 31 points on (0, 3), optional
+    mean-proportional noise (scenario_1.jl:36-53's setup)."""
+    from universal_differential_equations_tpu.models import lotka_volterra as lv
+
+    key = jax.random.PRNGKey(11) if key is None else key
+    ts, X, Xn = lv.generate_data(key, noise_magnitude=noise)
+    return ts, (X if noise == 0.0 else Xn)
+
+
+def test_weak_test_functions_integration_by_parts():
+    # On smooth u with known derivative, Phi @ u' must equal -(dPhi @ u)
+    # (integration by parts with compactly supported phi) to quadrature
+    # accuracy — the identity the weak regression targets rely on.
+    ts = jnp.linspace(0.0, 3.0, 61)
+    u = jnp.sin(2.0 * ts)[:, None]
+    du = 2.0 * jnp.cos(2.0 * ts)[:, None]
+    Phi, dPhi = sd.test_function_matrices(ts, width=31, p=5)
+    lhs = np.asarray(Phi @ du)
+    rhs = np.asarray(-(dPhi @ u))
+    np.testing.assert_allclose(lhs, rhs, atol=2e-5 * np.abs(lhs).max())
+    # rows are L2-normalized: reconstruct ∫ q phi^2 = 1 per window
+    # (Phi rows carry q·phi/||phi||, so sum(Phi_row * phi_row_unweighted)
+    # is 1 only up to the norm — instead check scale comparability)
+    row_norms = np.linalg.norm(np.asarray(Phi), axis=1)
+    assert row_norms.max() / row_norms.min() < 3.0
+
+
+def test_weak_pair_clean_lv_missing_terms():
+    # Clean trajectory, known linear physics moved to the target side:
+    # the weak pair must be solved exactly by the true missing-term
+    # coefficients (-0.9 x·y, +0.8 x·y) — quadrature residual below 1e-3.
+    ts, X = _lv_trajectory()
+    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+    i_xy = basis.names.index("u1*u2")
+    known = lambda u: jnp.stack([1.3 * u[0], -1.8 * u[1]])
+    G, B = sd.weak_pair(ts, X, basis, known, widths=(17,), p=5)
+    m = len(basis)
+    xi = np.zeros((m, 2))
+    xi[i_xy] = (-0.9, 0.8)
+    resid = np.asarray(G) @ xi - np.asarray(B)
+    assert np.abs(resid).max() <= 1e-3 * np.abs(np.asarray(B)).max()
+    # one-column least squares on the true support nails the coefficients
+    g = np.asarray(G[:, i_xy])
+    for d, truth in enumerate((-0.9, 0.8)):
+        c = np.linalg.lstsq(g[:, None], np.asarray(B)[:, d], rcond=None)[0][0]
+        np.testing.assert_allclose(c, truth, rtol=2e-3)
+
+
+def test_weak_statistics_beat_pointwise_at_high_noise():
+    # Selection-free statistics comparison at the LV study's hardest noise
+    # level (5e-2 mean-proportional): least-squares on the TRUE support —
+    # the weak-form rows estimate the missing-term coefficients far better
+    # than pointwise collocation derivatives on the same data, because each
+    # weak row averages the sample noise over a whole test window.
+    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+    i_xy = basis.names.index("u1*u2")
+    known = lambda u: jnp.stack([1.3 * u[0], -1.8 * u[1]])
+    err_weak, err_pt = [], []
+    for ks in range(4):
+        ts, Xn = _lv_trajectory(noise=5e-2, key=jax.random.PRNGKey(ks))
+        G, B = sd.weak_pair(ts, Xn, basis, known, widths=(17,), p=5)
+        g = np.asarray(G[:, i_xy])
+        c_w = [np.linalg.lstsq(g[:, None], np.asarray(B)[:, d],
+                               rcond=None)[0][0] for d in range(2)]
+        err_weak.append(max(abs(c_w[0] + 0.9), abs(c_w[1] - 0.8)))
+
+        # pointwise route (C20): kernel-collocation derivatives minus the
+        # known physics, same library column, same least squares
+        Xs, DX = sd.collocate_data(Xn, ts)
+        Yres = DX - jax.vmap(known)(Xs)
+        th = np.asarray(basis.theta(Xs)[:, i_xy])
+        c_pt = [np.linalg.lstsq(th[:, None], np.asarray(Yres)[:, d],
+                                rcond=None)[0][0] for d in range(2)]
+        err_pt.append(max(abs(c_pt[0] + 0.9), abs(c_pt[1] - 0.8)))
+    # measured over 8 keys: median weak 0.21 vs pointwise 1.37 (the
+    # collocation derivative is systematically smoothing-biased: its γ
+    # estimate lands ~2.1 for a true 0.8 on every draw)
+    med_w, med_p = np.median(err_weak), np.median(err_pt)
+    assert med_w < 0.3 * med_p, (err_weak, err_pt)
+    assert med_w < 0.35, err_weak
+
+
+def test_weak_front_end_plumbing():
+    # WeakDataDrivenProblem through the sindy() front end: the weak rows
+    # replace (Θ(X), Y), coefficients come back in the raw basis frame and
+    # the result API round-trips.  NOTE structure selection on weak rows is
+    # the simulation judge's job (weak.py docstring: overlapping windows
+    # correlate the rows, so purely statistical parsimony over-selects) —
+    # this test pins the plumbing: the true term is active with the right
+    # coefficient even when statistical selection keeps extra terms.
+    ts, X = _lv_trajectory()
+    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+    i_xy = basis.names.index("u1*u2")
+    known = lambda u: jnp.stack([1.3 * u[0], -1.8 * u[1]])
+    lams = tuple(10.0 ** e for e in np.arange(-3.0, 2.0, 0.1))
+    prob = sd.WeakDataDrivenProblem(X, ts, known_rhs=known, widths=(17,))
+    res = sd.sindy(prob, basis, sd.STLSQ(lams), normalize=True)
+    assert bool(res.active[i_xy, 0]) and bool(res.active[i_xy, 1])
+    np.testing.assert_allclose(res.coefficients[i_xy], (-0.9, 0.8), atol=5e-3)
+    assert "u1*u2" in res.equations()[0]
+
+
+def test_weak_plus_simulation_judge_recovers_structure():
+    # The study's weak arm in miniature (run_loops.py weak_stage): weak
+    # rows → CV ladder → simulation-refit judge, 4 lanes at 1e-2 noise —
+    # the level where the pointwise trained-NN arm drops to 93%; the weak
+    # arm measured 100% at 25 lanes/level, so 4/4 here is a stable gate.
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+    from universal_differential_equations_tpu.models import lotka_volterra as lv
+
+    ts, X, _ = lv.generate_data(jax.random.PRNGKey(11))
+    X = jnp.asarray(X, jnp.float64)
+    x_mean = jnp.mean(X, axis=0)
+    basis = sd.polynomial_basis(2, 5) + sd.sin_basis(2)
+    i_xy = basis.names.index("u1*u2")
+    m = len(basis)
+    known = lambda u: jnp.stack([1.3 * u[0], -1.8 * u[1]])
+    lams = tuple(10.0 ** e for e in np.arange(-3.0, 5.0, 0.2))
+    opt = sd.STLSQ(lams)
+    masks1 = jnp.eye(m, dtype=bool)
+    sub = 4
+    n_step = (len(ts) - 1) * sub
+    t_end = float(ts[-1])
+    x_mean_sq = float(jnp.mean(x_mean**2))
+
+    def dense_rhs(t, u, C):
+        th = basis.theta(u[None, :])[0]
+        return jnp.stack([1.3 * u[0] + th @ C[:, 0],
+                          -1.8 * u[1] + th @ C[:, 1]])
+
+    @jax.jit
+    @jax.vmap
+    def weak_lane(key):
+        mag = 1e-2
+        data = X + mag * x_mean * jax.random.normal(key, X.shape)
+        G, B = sd.weak_pair(ts, data, basis, known, widths=(17,), p=5)
+        ladder = lambda y: sd.cv_ladder(G, y, opt, 5, per_size=2,
+                                        extra_supports=masks1)
+        sizes_r = jnp.repeat(jnp.arange(1, 6), 2)
+        C_sel, _, _ = sd.select_by_simulation(
+            [ladder(B[:, 0]), ladder(B[:, 1])], dense_rhs, data[0],
+            0.0, t_end, data, ude.Tsit5(), n_step, sub=sub,
+            rel_factor=1.5, max_rel=1.0, refit_iters=8,
+            loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
+            max_total_support=5, sizes=[sizes_r, sizes_r],
+            refit_top=(2, 1, 1, 1), refit_method="lm")
+        act1 = C_sel[:, 0] != 0.0
+        act2 = C_sel[:, 1] != 0.0
+        want = jnp.zeros(m, bool).at[i_xy].set(True)
+        return jnp.all(act1 == want) & jnp.all(act2 == want)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    exact = np.asarray(weak_lane(keys))
+    assert exact.sum() >= 3, exact

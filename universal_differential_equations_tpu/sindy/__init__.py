@@ -22,3 +22,4 @@ from .solve import (
     SINDyResult,
     sindy,
 )
+from .weak import WeakDataDrivenProblem, test_function_matrices, weak_pair

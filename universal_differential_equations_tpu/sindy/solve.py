@@ -142,19 +142,27 @@ def sindy(
     stays on the accelerator; only the m×m solves are re-run in f64.
     "device" forces the session-dtype on-device sweep.
     """
+    from .weak import WeakDataDrivenProblem
+
     optimizer = STLSQ() if optimizer is None else optimizer
-    if isinstance(problem, ContinuousDataDrivenProblem):
+    theta_raw = None
+    if isinstance(problem, WeakDataDrivenProblem):
+        # weak-form rows: the regression pair is (∫φΘ(u), -∫φ'u - ∫φf_known)
+        # — the feature matrix is already integrated, so the "sample count"
+        # below is the number of test windows
+        theta_raw, Y = problem.realize(basis)
+    elif isinstance(problem, ContinuousDataDrivenProblem):
         X, Y = problem.realize()
     else:
         X, Y = problem.X, problem.Y
-    X = jnp.asarray(X)
     Y = jnp.asarray(Y)
     if Y.ndim == 1:
         Y = Y[:, None]
-    N = X.shape[0]
     d = Y.shape[1]
 
-    theta_raw = basis.theta(X)  # (N, m)
+    if theta_raw is None:
+        theta_raw = basis.theta(jnp.asarray(X))  # (N, m)
+    N = theta_raw.shape[0]
     if denoise:
         theta_raw = _svht_denoise(theta_raw)
     m = theta_raw.shape[1]

@@ -1,0 +1,184 @@
+"""Weak-form (integral) sparse regression — different statistics for noise.
+
+Pointwise SINDy regresses derivative estimates against Θ(X) sample by
+sample, so measurement noise enters every regression row at full strength
+(and derivative estimation amplifies it; a trained-UDE field estimator
+carries the noise as structured fit error instead — the LV loop study's
+measured high-noise limiter, ``examples/lotka_volterra/run_loops.py``).
+The weak form integrates the dynamics against smooth, compactly supported
+test functions φ_k and moves the time derivative onto φ by parts
+(φ_k vanishes at its window ends):
+
+    ∫ φ_k u̇ dt = -∫ φ_k' u dt
+
+so   -∫ φ_k' u dt  =  ∫ φ_k f_known(u) dt  +  (∫ φ_k Θ(u) dt) · ξ.
+
+Each regression row averages the sample noise over a whole test window
+instead of reading it pointwise — the noise variance of a row drops by
+roughly the window length — and no derivative is ever estimated.  The
+statistics are the public "Weak SINDy" formulation (Messenger & Bortz,
+arXiv:2005.04339); the reference repository never uses them (its loop
+study regresses pointwise NN outputs, ``loop_recoveries.jl:91-128``), so
+this module is a capability *extension* of C19/C20.
+
+TPU-native design: the K test windows are rows of two dense (K, N)
+quadrature-weighted matrices, so building the weak regression pair is two
+small matmuls — one fused XLA program that runs unchanged inside vmapped
+ensemble lanes (no host round trips, static shapes throughout).
+
+Test functions are polynomial bumps φ(t) ∝ ((t−a)(b−t))^p on sliding
+windows [a, b].  With p ≥ 3 the integrand's first p−1 derivatives vanish
+at the window ends, so plain trapezoid quadrature *on the sample grid
+itself* is high-order accurate there (Euler–Maclaurin: the boundary
+correction terms vanish) — no sub-grid quadrature is needed.
+
+SELECTION CAVEAT (measured): overlapping windows make the weak rows few
+and strongly correlated, and the quadrature bias is *structured* — so
+purely statistical parsimony (AICc, shuffled-fold CV) over-selects on a
+weak pair even on clean data.  Pair the weak rows with the simulation
+judge (:func:`~.select.cv_ladder` rungs into
+:func:`~.select.select_by_simulation`) exactly like the LV loop study's
+weak arm; the plain :func:`~.solve.sindy` front-end accepts a
+:class:`WeakDataDrivenProblem` but its statistical selection is only
+trustworthy when rows are plentiful relative to the library.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basis import Basis
+
+__all__ = ["test_function_matrices", "weak_pair", "WeakDataDrivenProblem"]
+
+
+def test_function_matrices(ts, width: int, stride: int = 1, p: int = 5):
+    """Quadrature-weighted test-function matrices on the sample grid.
+
+    Args:
+      ts: (N,) sample times (uniform or not; trapezoid weights handle both).
+      width: window length in samples (``width >= 3``); window k covers
+        samples ``[k·stride, k·stride + width - 1]``.
+      stride: window start stride in samples.
+      p: bump exponent of φ(t) ∝ ((t−a)(b−t))^p; p ≥ 3 keeps trapezoid
+        quadrature high-order (see module docstring) and φ ∈ C^{p-1}.
+        Measured on the 31-sample LV window: p=3 leaves ~4e-3 relative
+        quadrature residual at width 17, p=5 reaches 3e-4 (and exact
+        4-digit coefficients on clean data) — p=5 is the default.
+
+    Returns:
+      ``(Phi, dPhi)``: (K, N) matrices with ``Phi[k, j] = q_j·φ_k(t_j)`` and
+      ``dPhi[k, j] = q_j·φ'_k(t_j)`` (q = trapezoid weights restricted to
+      the window), rows normalized by ‖φ_k‖_{L2} so every window
+      contributes at comparable scale.  ``Phi @ f(X)`` ≈ ∫φ_k f dt and
+      ``dPhi @ X`` ≈ ∫φ'_k u dt for samples X on ``ts``.
+    """
+    ts = jnp.asarray(ts)
+    N = ts.shape[0]
+    width = int(width)
+    stride = int(stride)
+    assert width >= 3, f"test-function window needs >= 3 samples, got {width}"
+    assert width <= N, f"window width {width} exceeds {N} samples"
+    starts = np.arange(0, N - width + 1, stride, dtype=np.int32)  # static K
+    j = jnp.arange(N)
+
+    # global trapezoid weights; the window-edge rows of φ vanish identically,
+    # so restricting q to the window only matters at interior-adjacent
+    # samples, handled by the clip below
+    t_next = jnp.concatenate([ts[1:], ts[-1:]])
+    t_prev = jnp.concatenate([ts[:1], ts[:-1]])
+
+    def one_window(s):
+        a = ts[s]
+        b = ts[s + width - 1]
+        inside = (j >= s) & (j <= s + width - 1)
+        # trapezoid weights restricted to [a, b]
+        hi = jnp.minimum(t_next, b)
+        lo = jnp.maximum(t_prev, a)
+        q = 0.5 * jnp.where(inside, hi - lo, 0.0)
+        raw = (ts - a) * (b - ts)
+        raw = jnp.where(inside, raw, 0.0)
+        phi = raw**p
+        dphi = p * raw ** (p - 1) * (a + b - 2.0 * ts)
+        dphi = jnp.where(inside, dphi, 0.0)
+        norm = jnp.sqrt(jnp.sum(q * phi**2)) + 1e-300
+        return q * phi / norm, q * dphi / norm
+
+    Phi, dPhi = jax.vmap(one_window)(jnp.asarray(starts))
+    return Phi, dPhi
+
+
+def weak_pair(
+    ts,
+    X,
+    basis: Basis,
+    known_rhs: Optional[Callable] = None,
+    *,
+    widths: Optional[Sequence[int]] = None,
+    stride: int = 1,
+    p: int = 5,
+):
+    """Weak-form regression pair ``(G, B)`` from noisy state samples.
+
+    Solves for sparse ξ in ``u̇ = f_known(u) + Θ(u)·ξ`` without estimating
+    any derivative:  ``G[k, i] = ∫φ_k θ_i(u) dt`` and
+    ``B[k, d] = -∫φ'_k u_d dt - ∫φ_k f_known(u)_d dt``, so ``G @ ξ ≈ B``.
+
+    Args:
+      ts: (N,) sample times.
+      X: (N, d) state samples (noisy is the point).
+      basis: candidate feature library Θ.
+      known_rhs: optional known part of the dynamics, ``u -> (d,)`` — the
+        UDE decomposition's retained physics (e.g. the LV linear terms,
+        ``loop_recoveries.jl:17-21``); its contribution is moved to the
+        target side so ξ models only the missing terms.
+      widths: window widths in samples, stacked multi-scale (default: one
+        width ≈ N/2, at least 2p + 3 so the bump is resolved).
+      stride / p: see :func:`test_function_matrices`.
+
+    Returns ``(G, B)`` with G: (K, m), B: (K, d) — feed to
+    :func:`~..sindy.cv_ladder`, :class:`~.optimizers.STLSQ` sweeps, or
+    :func:`~..sindy.two_stage_recovery` exactly like a pointwise
+    ``(Θ(X), Y)`` pair.  Traceable (jit/vmap-safe; all shapes static).
+    """
+    ts = jnp.asarray(ts)
+    X = jnp.asarray(X)
+    N = ts.shape[0]
+    if widths is None:
+        widths = (max(2 * int(p) + 3, N // 2),)
+    mats = [test_function_matrices(ts, w, stride=stride, p=p) for w in widths]
+    Phi = jnp.concatenate([m[0] for m in mats])
+    dPhi = jnp.concatenate([m[1] for m in mats])
+    theta = basis.theta(X)  # (N, m)
+    G = Phi @ theta
+    B = -(dPhi @ X)
+    if known_rhs is not None:
+        B = B - Phi @ jax.vmap(known_rhs)(X)
+    return G, B
+
+
+@dataclasses.dataclass(frozen=True)
+class WeakDataDrivenProblem:
+    """Weak-form problem for the :func:`~.solve.sindy` front-end.
+
+    Drop-in sibling of ``DirectDataDrivenProblem``/
+    ``ContinuousDataDrivenProblem``: the front-end fits the weak pair
+    (G, B) instead of (Θ(X), Y), so recovered coefficients/equations are in
+    the same basis scale and the :class:`~.solve.SINDyResult` round-trip
+    (printable equations, jitted recovered RHS) is unchanged.
+    """
+
+    X: jnp.ndarray  # (N, d) state samples
+    t: jnp.ndarray  # (N,) sample times
+    known_rhs: Optional[Callable] = None
+    widths: Optional[Tuple[int, ...]] = None
+    stride: int = 1
+    p: int = 5
+
+    def realize(self, basis: Basis):
+        return weak_pair(self.t, self.X, basis, self.known_rhs,
+                         widths=self.widths, stride=self.stride, p=self.p)
