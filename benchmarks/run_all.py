@@ -257,11 +257,11 @@ def row_hjb(quick):
 
 def row_lv_throughput(quick):
     rl = _load_example("examples/lotka_volterra/run_loops.py")
-    # oracle=False: the row measures train+judge recovery throughput; the
-    # identifiability-ceiling arm is a study-quality artifact, not a cost
-    # of a recovery
+    # oracle/weak=False: the row measures train+judge recovery throughput;
+    # the identifiability-ceiling and weak-form arms are study-quality
+    # artifacts, not costs of a recovery
     out = rl.main(runs_per_level=4 if quick else 20, archive=False,
-                  resume=False, oracle=False)
+                  resume=False, oracle=False, weak=False)
     n_runs = (4 if quick else 20) * 5
     per_total = out["wall"] / n_runs * 1e3
     # steady-state ms/run: chunks after the first.  The first chunk carries
