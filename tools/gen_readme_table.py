@@ -46,6 +46,12 @@ LABELS = {
          "excluded; total incl. warmup and the device-vs-dispatch "
          "attribution in the artifact's extra)",
          "{baseline_s:g} s/run (MODELED — derivation in BASELINE.md)"),
+    "lv_weak_recovery_ms_per_run":
+        ("LV recovery via the weak-form (training-free) arm — integral "
+         "regression + the same simulation judge, no NN training; exact "
+         "rates 100/99/100/81/43% vs the trained arm's 96/95/93/79/53% "
+         "(per-level rates in the artifact's extra)",
+         "{baseline_s:g} s/run (MODELED — derivation in BASELINE.md)"),
     "rt_datagen_ms_per_step":
         ("Rayleigh-Taylor 3-D data-gen step (128×2×128)",
          "{baseline} ms/step"),
@@ -77,6 +83,7 @@ ORDER = [
     "climate_adjoint_loss_grad",
     "hjb100d_rel_l2",
     "lv_recovery_ms_per_run",
+    "lv_weak_recovery_ms_per_run",
     "rt_datagen_ms_per_step",
     "tracer_datagen_ms_per_step_128cubed",
     "fenep_surrogate_us_per_solve",
