@@ -49,6 +49,13 @@ levels (exact 100/99/100/81 vs 96/95/93/79%, saturating the oracle
 ceiling at three of them) in 85 s for all 500 lanes; only at 5e-2 does
 the trained-NN estimator stay ahead (53 vs 43%: fifteen weak windows
 over 31 samples run out of rows before the NN runs out of signal).
+The two estimators fail on *different* lanes, so the combo arm
+(``combo_stage``) plays each lane's two selected models off inside one
+more simulation-refit judge (all four cross-equation combos, no training
+gate) and reaches exact 100/100/100/95/68% — above BOTH arms at every
+level, 95-of-100%-ceiling at 2.5e-2 and 68-of-95 at 5e-2 — in 36 s for
+all 500 lanes (semantics pinned by ``tests/test_lv_pipeline.py::
+test_combo_playoff_picks_true_structure_from_either_arm``).
 
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
@@ -624,6 +631,37 @@ def build_stages(mesh=None):
         contains = act1[i_xy] & act2[i_xy]
         return exact, contains, C_sel[:, 0], C_sel[:, 1]
 
+    @jax.jit
+    @jax.vmap
+    def combo_stage(key, mag, c1_t, c2_t, c1_w, c2_w):
+        """Cross-arm playoff: the trained-NN arm's selected model and the
+        weak-form arm's selected model enter ONE simulation-refit judge as
+        a 2-rung candidate set per equation (all 4 cross-equation combos
+        refit, ``refit_all=True``) — the judge that already separates
+        structures inside each arm also decides *between* the two
+        estimators, per lane, with no new machinery.  No training gate:
+        when a lane's training went bad its trained candidate simply loses
+        the playoff to the weak candidate by refit loss."""
+        k_noise, _ = jax.random.split(key)  # same lane data as adam_stage
+        data = make_data(k_noise, mag)
+        cand1 = (jnp.stack([c1_t, c1_w]), jnp.ones((2,), bool))
+        cand2 = (jnp.stack([c2_t, c2_w]), jnp.ones((2,), bool))
+        sizes1 = jnp.stack([(c1_t != 0.0).sum(), (c1_w != 0.0).sum()])
+        sizes2 = jnp.stack([(c2_t != 0.0).sum(), (c2_w != 0.0).sum()])
+        C_sel, _, _ = sd.select_by_simulation(
+            [cand1, cand2], dense_rhs, data[0], 0.0, t_end, data,
+            ude.Tsit5(), n_step, sub=SUB, rel_factor=1.5, max_rel=1.0,
+            refit_iters=REFIT_ITERS,
+            loss_floor=1.3 * mag**2 * x_mean_sq + 1e-7,
+            max_total_support=MAX_TOTAL_SUPPORT, sizes=[sizes1, sizes2],
+            refit_all=True, refit_method="lm")
+        act1 = C_sel[:, 0] != 0.0
+        act2 = C_sel[:, 1] != 0.0
+        want = jnp.zeros(m, bool).at[i_xy].set(True)
+        exact = jnp.all(act1 == want) & jnp.all(act2 == want)
+        contains = act1[i_xy] & act2[i_xy]
+        return exact, contains, C_sel[:, 0], C_sel[:, 1]
+
     probe_stats = {}
 
     def pipeline(keys_c, mags_c, attempt=0, probe=False):
@@ -726,7 +764,8 @@ def build_stages(mesh=None):
         ts=ts, X=X, x_mean=x_mean, shard=shard,
         adam_stage=adam_stage, bfgs_round=bfgs_round, lm_round=lm_round,
         recover_stage=recover_stage, oracle_stage=oracle_stage,
-        weak_stage=weak_stage, pipeline=pipeline, probe_stats=probe_stats)
+        weak_stage=weak_stage, combo_stage=combo_stage,
+        pipeline=pipeline, probe_stats=probe_stats)
 
 
 def sample_thetas(per_level=5, runs_per_level=100,
@@ -919,11 +958,13 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
               f"{contains_sr3d[lvl].mean():8.1%} | "
               f"{exact_sr3d[lvl].mean():10.1%}")
 
-    def selection_pass(stage, label, suffix):
+    def selection_pass(stage, label, suffix, extras=()):
         """Chunked, resumable selection-only pass (no training): shared by
-        the oracle (identifiability-ceiling) and weak-form arms.  One stage
-        dispatch per lane chunk (same watchdog budget as the recovery
-        stage); per-chunk groups resume like the training chunks."""
+        the oracle (identifiability-ceiling), weak-form, and combo arms.
+        One stage dispatch per lane chunk (same watchdog budget as the
+        recovery stage); per-chunk groups resume like the training chunks.
+        ``extras``: per-lane (n_runs, ...) arrays passed to the stage after
+        (keys, mags) — the combo playoff's candidate coefficients."""
         t_p = time.time()
         akeys = tuple(f"{f}_{suffix}" for f in
                       ("exact", "contains", "coef1", "coef2"))
@@ -942,8 +983,9 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
             if mesh is not None and n_real % mesh.size:
                 idx = np.concatenate(
                     [idx, np.full((-n_real) % chunk, c0, idx.dtype)])
-            out = stage(st.shard(keys[jnp.asarray(idx)]),
-                        st.shard(noise_mags[jnp.asarray(idx)]))
+            jidx = jnp.asarray(idx)
+            out = stage(st.shard(keys[jidx]), st.shard(noise_mags[jidx]),
+                        *[st.shard(jnp.asarray(e)[jidx]) for e in extras])
             out = tuple(np.asarray(o[:n_real]) for o in out)
             parts.append(out)
             if archive:
@@ -974,6 +1016,8 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
 
     exact_w = contains_w = None
     weak_wall = 0.0
+    exact_c = contains_c = None
+    combo_wall = 0.0
     if weak:
         exact_w, contains_w, c1_w, c2_w, weak_wall = selection_pass(
             st.weak_stage, "weak", "w")
@@ -985,6 +1029,19 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
             print(f"{mag:8.0e} | {contains_w[lvl].mean():9.1%} | "
                   f"{exact_w[lvl].mean():10.1%} | "
                   f"{exact[lvl].mean():13.1%}")
+        # cross-arm playoff: both arms' selected models through one judge
+        exact_c, contains_c, c1_c, c2_c, combo_wall = selection_pass(
+            st.combo_stage, "combo", "c", extras=(c1, c2, c1_w, c2_w))
+        print("combo arm (per-lane playoff: trained vs weak selections, "
+              "judged by simulation refit):")
+        print(f"{'noise':>8} | {'combo x*y':>9} | {'combo exact':>11} "
+              f"| {'trained':>7} | {'weak':>6} | {'ceiling':>7}")
+        for lvl, mag in enumerate(NOISE_LEVELS):
+            ce = (f"{exact_o[lvl].mean():7.1%}" if exact_o is not None
+                  else "    n/a")
+            print(f"{mag:8.0e} | {contains_c[lvl].mean():9.1%} | "
+                  f"{exact_c[lvl].mean():11.1%} | {exact[lvl].mean():7.1%} "
+                  f"| {exact_w[lvl].mean():6.1%} | {ce}")
 
     if archive:
         arch.save("loop_study", exact=jnp.asarray(exact),
@@ -1010,7 +1067,12 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                           contains_weak=jnp.asarray(contains_w),
                           coef1_weak=jnp.asarray(c1_w),
                           coef2_weak=jnp.asarray(c2_w))
-                     if exact_w is not None else {}))
+                     if exact_w is not None else {}),
+                  **(dict(exact_combo=jnp.asarray(exact_c),
+                          contains_combo=jnp.asarray(contains_c),
+                          coef1_combo=jnp.asarray(c1_c),
+                          coef2_combo=jnp.asarray(c2_c))
+                     if exact_c is not None else {}))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
@@ -1048,7 +1110,12 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                             if exact_w is not None else None),
                 contains_weak=(contains_w.mean(axis=1).tolist()
                                if contains_w is not None else None),
-                weak_wall=weak_wall)
+                weak_wall=weak_wall,
+                exact_combo=(exact_c.mean(axis=1).tolist()
+                             if exact_c is not None else None),
+                contains_combo=(contains_c.mean(axis=1).tolist()
+                                if contains_c is not None else None),
+                combo_wall=combo_wall)
 
 
 if __name__ == "__main__":
@@ -1077,7 +1144,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.fresh:
         for pat in ("loop_chunk_*.npz", "loop_restart_*.npz",
-                    "loop_oracle_*.npz", "loop_weak_*.npz"):
+                    "loop_oracle_*.npz", "loop_weak_*.npz",
+                    "loop_combo_*.npz"):
             for p in (Path(__file__).parent / "results").glob(pat):
                 p.unlink()
     if args.theta_samples:

@@ -171,3 +171,43 @@ def test_lane_solver_contract_fixed_tsit5_matches_vern7():
         mag = float(z["mag"][i])
         contract(rhs, u0, theta, 0.25 * mag * x_scale,
                  f"trained lane {int(z['lane'][i])} (mag {mag:g})")
+
+
+def test_combo_playoff_picks_true_structure_from_either_arm():
+    """`run_loops.combo_stage` semantics: the cross-arm playoff feeds the
+    trained-NN arm's and the weak-form arm's selected models through ONE
+    simulation-refit judge; whichever arm carries the true {x·y} structure
+    must win the lane regardless of which side it enters on (and the
+    corrupted arm's model — here a plausible wrong support, refit to its
+    best — must lose by refit loss, not by any gate)."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]
+                            / "examples" / "lotka_volterra"))
+    import run_loops as rl
+
+    st = rl.build_stages()
+    m = len(rl.BASIS)
+    i_xy = rl.I_XY
+    i_x = rl.BASIS.names.index("u1")
+    i_y2 = rl.BASIS.names.index("u2^2")
+    true1 = jnp.zeros((m,)).at[i_xy].set(-0.9)
+    true2 = jnp.zeros((m,)).at[i_xy].set(0.8)
+    wrong1 = jnp.zeros((m,)).at[i_x].set(-0.5)
+    wrong2 = jnp.zeros((m,)).at[i_y2].set(0.1)
+
+    n = 4
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    mags = jnp.full((n,), 1e-2, jnp.float32)
+    tile = lambda c: jnp.tile(c[None, :], (n, 1))
+
+    # true structure on the "trained" side
+    ex_a, co_a, _, _ = st.combo_stage(keys, mags, tile(true1), tile(true2),
+                                      tile(wrong1), tile(wrong2))
+    # true structure on the "weak" side
+    ex_b, co_b, _, _ = st.combo_stage(keys, mags, tile(wrong1), tile(wrong2),
+                                      tile(true1), tile(true2))
+    assert int(jnp.sum(ex_a)) >= 3, np.asarray(ex_a)
+    assert int(jnp.sum(ex_b)) >= 3, np.asarray(ex_b)
+    assert bool(jnp.all(co_a == ex_a)) and bool(jnp.all(co_b == ex_b))
