@@ -397,9 +397,54 @@ def row_lv_weak(quick):
                                      "(BASELINE.md derivation)"))
 
 
+def row_lv_combo(quick):
+    """Row 14: the combo pipeline end-to-end — trained arm + weak-form arm
+    + per-lane cross-arm playoff (`run_loops.py combo_stage`), the study's
+    best-quality configuration (measured 100/100/100/95/68% exact on the
+    500-lane study vs 96/95/93/79/53 trained-only and 100/99/100/81/43
+    weak-only).  ms per recovery = the trained arm's steady-state rate
+    (row-5 definition: chunks after the first + the restart pass) plus the
+    weak and playoff passes' full walls per lane (those include their
+    one-time compiles — conservative).  Same 20 s/run modeled baseline as
+    rows 5/13 (BASELINE.md)."""
+    rl = _load_example("examples/lotka_volterra/run_loops.py")
+    rpl = 4 if quick else 20
+    out = rl.main(runs_per_level=rpl, archive=False, resume=False,
+                  oracle=False, weak=True)
+    n_runs = rpl * len(rl.NOISE_LEVELS)
+    marks = out["chunk_walls"]
+    restart_wall = out.get("restart_wall", 0.0)
+    if len(marks) >= 2:
+        lanes_per_chunk = n_runs / len(marks)
+        trained_per = ((marks[-1] - marks[0] + restart_wall)
+                       / (n_runs - lanes_per_chunk))
+    else:
+        trained_per = marks[-1] / n_runs
+    arms_per = (out["weak_wall"] + out["combo_wall"]) / n_runs
+    per = (trained_per + arms_per) * 1e3
+    return dict(metric="lv_combo_recovery_ms_per_run", value=round(per, 0),
+                unit="ms", baseline=20000.0,
+                vs_baseline=round(20000.0 / per, 1),
+                extra=dict(definition="steady-state ms per full combo "
+                           "recovery: trained train+judge steady rate "
+                           "(first-chunk JIT/warmup excluded, restart pass "
+                           "included) + weak-form and playoff pass walls "
+                           "per lane (incl. their one-time compiles)",
+                           trained_ms_per_run=round(trained_per * 1e3, 0),
+                           weak_wall_s=round(out["weak_wall"], 1),
+                           combo_wall_s=round(out["combo_wall"], 1),
+                           exact_rates_combo=out["exact_combo"],
+                           exact_rates_trained=out["exact"],
+                           exact_rates_weak=out["exact_weak"],
+                           noise_levels=list(rl.NOISE_LEVELS),
+                           reference="same 20 s/run modeled reading of the "
+                                     "reference loop as the row-5 baseline "
+                                     "(BASELINE.md derivation)"))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", default="1,2,3,4,5,6,7,8,9,10,11,12,13")
+    ap.add_argument("--rows", default="1,2,3,4,5,6,7,8,9,10,11,12,13,14")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=None,
                     help="also write the rows to this JSON file (the "
@@ -426,6 +471,7 @@ def main():
         11: lambda: row_pallas(args.quick),
         12: lambda: row_tracer_step(args.quick),
         13: lambda: row_lv_weak(args.quick),
+        14: lambda: row_lv_combo(args.quick),
     }
     for r in rows:
         res = runners[r]()

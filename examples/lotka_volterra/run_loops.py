@@ -44,18 +44,25 @@ not a better optimizer.)
 
 The weak-form arm (``weak_stage``) IS different statistics —
 ``sindy.weak_pair`` integral regression on the same noisy lanes, no
-training at all — and it beats the trained pipeline at four of the five
-levels (exact 100/99/100/81 vs 96/95/93/79%, saturating the oracle
-ceiling at three of them) in 85 s for all 500 lanes; only at 5e-2 does
-the trained-NN estimator stay ahead (53 vs 43%: fifteen weak windows
-over 31 samples run out of rows before the NN runs out of signal).
-The two estimators fail on *different* lanes, so the combo arm
+training at all — and it beats the trained pipeline at EVERY level:
+exact 100/99/100/95/69 vs 96/95/93/79/53% (in 73 s for all 500 lanes).
+The test-function windows are a multi-scale stack,
+``widths=(9,13,17,21,25,29)`` (the ``build_stages(weak_widths=...)``
+default): a single width-17 set of fifteen windows reached only
+100/99/100/81/43% — its rows run out before the 31 samples run out of
+signal — and single wider windows are WORSE (width 21: 65/32, width 25:
+66/31 at the top two levels; over-smoothing loses the LV peaks), but
+stacking scales adds rows that carry different quadrature bias, lifting
+2.5e-2 81→95% and 5e-2 43→69% (sweep measured on the study's own lanes,
+r4; 97/65 for a 7-width stack reaching the full window — the 6-stack
+maximizes the hardest level).
+The two estimators still fail on *different* lanes, so the combo arm
 (``combo_stage``) plays each lane's two selected models off inside one
 more simulation-refit judge (all four cross-equation combos, no training
-gate) and reaches exact 100/100/100/95/68% — above BOTH arms at every
-level, 95-of-100%-ceiling at 2.5e-2 and 68-of-95 at 5e-2 — in 36 s for
-all 500 lanes (semantics pinned by ``tests/test_lv_pipeline.py::
-test_combo_playoff_picks_true_structure_from_either_arm``).
+gate), measured above BOTH arms at every level and near the oracle
+ceiling (semantics pinned by ``tests/test_lv_pipeline.py::
+test_combo_playoff_picks_true_structure_from_either_arm``; current rates
+in README.md, archived per lane in ``results/loop_study.npz``).
 
 Run: python examples/lotka_volterra/run_loops.py [--runs-per-level N]
 """
@@ -340,7 +347,7 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
     print(f"plots written to {outdir}")
 
 
-def build_stages(mesh=None):
+def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
     """Construct the staged lane programs (train → judge → SR3 arms).
 
     ``mesh``: optional ``jax.sharding.Mesh`` (e.g.
@@ -610,7 +617,7 @@ def build_stages(mesh=None):
         G, B = sd.weak_pair(
             ts, data, basis,
             lambda u: jnp.stack([alpha * u[0], -delta * u[1]]),
-            widths=(17,), p=5)
+            widths=weak_widths, p=5)
 
         def ladder(y):
             return sd.cv_ladder(G, y, opt_s, K_SEL, per_size=2,
