@@ -33,14 +33,24 @@ a committed artifact without re-measuring.
 import argparse
 import json
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# --tpu-times (VERDICT r4 next #4): keep the default (TPU) backend in f32
+# and measure the time axis on the device the README banner claims, with
+# the chained/null-subtracted dispatch discipline of the other benchmark
+# rows (the tunneled per-dispatch RTT drifts 24-69 ms between sessions —
+# CLAUDE.md — so a naive per-solve wall on TPU times the wire).  Reference
+# trajectories are still computed in float64 on the host CPU (the x64_host
+# pattern; f64 on the TPU worker can crash it outright).
+TPU_TIMES = "--tpu-times" in sys.argv
+if not TPU_TIMES:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +63,10 @@ from universal_differential_equations_tpu.utils import enable_compilation_cache
 from universal_differential_equations_tpu.utils.profiling import benchmark
 
 RTOLS = tuple(10.0 ** -e for e in range(3, 10))
+# f32 adaptive-control floor on the TPU: below ~1e-7 the stepper exhausts
+# max_steps (and err readings would measure the dtype, not the method)
+RTOLS_TPU = tuple(10.0 ** -e for e in range(3, 8))
+CHAIN_K = 8
 
 
 def _solve(prob, solver, rtol, saveat, max_steps=65536):
@@ -70,20 +84,68 @@ def _timed(prob, solver, rtol, saveat, max_steps=65536):
     return stats["median_s"]
 
 
+def _timed_chained(prob, solver, rtol, saveat, max_steps=65536, K=CHAIN_K):
+    """TPU time axis: K solves chained inside ONE device program (each
+    re-seeded with a numerically-null, compiler-opaque u0 perturbation so
+    XLA cannot CSE them), minus a measured null dispatch, divided by K —
+    the climate-adjoint row's discipline, so the artifact times the
+    solver, not the tunnel."""
+    u00 = prob.u0
+
+    @jax.jit
+    def chain(u0):
+        def body(i, carry):
+            s, u = carry
+            sol = ude.solve(ude.remake(prob, u0=u), solver, saveat=saveat,
+                            rtol=rtol, atol=rtol * 1e-2,
+                            adjoint=ude.NoAdjoint(), max_steps=max_steps)
+            last = jnp.sum(sol.ys[-1])
+            return s + last, u0 + 1e-30 * last
+        return jax.lax.fori_loop(
+            0, K, body, (jnp.zeros((), u00.dtype), u0))[0]
+
+    null = jax.jit(lambda x: x + 1.0)
+    jax.block_until_ready(chain(u00))
+    jax.block_until_ready(null(u00))
+    best_c, best_n = float("inf"), float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(u00))
+        best_c = min(best_c, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(null(u00))
+        best_n = min(best_n, time.perf_counter() - t0)
+    return max(best_c - best_n, 1e-12) / K
+
+
+def _host_f64_ref(f, u0, tspan, args, ts, rtol=1e-13):
+    """float64 reference trajectory on the host CPU (the x64_host
+    pattern) — shared by both platforms; in --tpu-times mode f64 must not
+    touch the TPU worker."""
+    cpu = jax.devices("cpu")[0]
+    to64 = lambda a: (jnp.asarray(np.asarray(a), jnp.float64)
+                      if a is not None else None)
+    with jax.enable_x64(True), jax.default_device(cpu):
+        prob = ude.ODEProblem(f, to64(u0), tspan, jax.tree.map(to64, args))
+        ref = _solve(prob, ude.Vern7(), rtol, to64(ts))
+        assert bool(ref.success)
+        return np.asarray(ref.ys)
+
+
 def nonstiff_set():
-    ts = jnp.linspace(0.0, 5.0, 51)
-    prob = ude.ODEProblem(lv.lotka_rhs, lv.U0.astype(jnp.float64),
-                          (0.0, 5.0), lv.P_TRUE.astype(jnp.float64))
-    ref = _solve(prob, ude.Vern7(), 1e-13, ts)
-    assert bool(ref.success)
-    ref_ys = np.asarray(ref.ys)
+    dtype = jnp.float32 if TPU_TIMES else jnp.float64
+    ts = jnp.linspace(0.0, 5.0, 51, dtype=dtype)
+    prob = ude.ODEProblem(lv.lotka_rhs, lv.U0.astype(dtype),
+                          (0.0, 5.0), lv.P_TRUE.astype(dtype))
+    ref_ys = _host_f64_ref(lv.lotka_rhs, lv.U0, (0.0, 5.0), lv.P_TRUE, ts)
     scale = np.abs(ref_ys).max()
     shelf = [("Heun", ude.Heun()), ("Bosh3", ude.Bosh3()),
              ("Tsit5", ude.Tsit5()), ("Dopri5", ude.Dopri5()),
              ("Vern7", ude.Vern7())]
+    timed = _timed_chained if TPU_TIMES else _timed
     rows = []
     for name, solver in shelf:
-        for rtol in RTOLS:
+        for rtol in (RTOLS_TPU if TPU_TIMES else RTOLS):
             sol = _solve(prob, solver, rtol, ts)
             if not bool(sol.success):
                 continue
@@ -91,19 +153,19 @@ def nonstiff_set():
             rows.append(dict(set="lotka_volterra", solver=name, rtol=rtol,
                              rhs_evals=int(sol.num_rhs_evals),
                              err=float(f"{err:.3g}"),
-                             time_s=float(f"{_timed(prob, solver, rtol, ts):.3g}")))
+                             time_s=float(f"{timed(prob, solver, rtol, ts):.3g}")))
     return rows
 
 
 def stiff_set():
+    dtype = jnp.float32 if TPU_TIMES else jnp.float64
     D1, D2, eig = cn.getops(32)
-    D1, D2 = jnp.asarray(D1, jnp.float64), jnp.asarray(D2, jnp.float64)
-    u0 = jnp.asarray(cn.get_u0(32), jnp.float64)
-    ts = jnp.linspace(0.0, 1.5, 16)
+    D1, D2 = jnp.asarray(D1, dtype), jnp.asarray(D2, dtype)
+    u0 = jnp.asarray(cn.get_u0(32), dtype)
+    ts = jnp.linspace(0.0, 1.5, 16, dtype=dtype)
     prob = ude.ODEProblem(cn.true_rhs, u0, (0.0, 1.5), (D1, D2))
-    ref = _solve(prob, ude.Vern7(), 1e-12, ts)
-    assert bool(ref.success)
-    ref_ys = np.asarray(ref.ys)
+    ref_ys = _host_f64_ref(cn.true_rhs, u0, (0.0, 1.5), (D1, D2), ts,
+                           rtol=1e-12)
     scale = np.abs(ref_ys).max()
     shelf = [
         ("RKC1", ude.RKC1(stages=24, rho=float(eig) * 1.1)),
@@ -111,9 +173,12 @@ def stiff_set():
         ("ROCK2", ude.ROCK2.for_problem(float(eig) * 1.1, (0.0, 1.5))),
         ("ROCK4", ude.ROCK4.for_problem(float(eig) * 1.1, (0.0, 1.5))),
     ]
+    timed = _timed_chained if TPU_TIMES else _timed
     rows = []
+    # stabilized-explicit floors: ~1e-9 in f64, ~1e-6 in f32 on the TPU
+    rtols = RTOLS_TPU[:4] if TPU_TIMES else RTOLS[:6]
     for name, solver in shelf:
-        for rtol in RTOLS[:6]:  # stabilized-explicit f64 floor ~1e-9
+        for rtol in rtols:
             sol = _solve(prob, solver, rtol, ts)
             if not bool(sol.success):
                 continue
@@ -121,7 +186,7 @@ def stiff_set():
             rows.append(dict(set="climate_column", solver=name, rtol=rtol,
                              rhs_evals=int(sol.num_rhs_evals),
                              err=float(f"{err:.3g}"),
-                             time_s=float(f"{_timed(prob, solver, rtol, ts):.3g}")))
+                             time_s=float(f"{timed(prob, solver, rtol, ts):.3g}")))
     return rows
 
 
@@ -131,10 +196,11 @@ def sde_set(n_paths=256):
     Stratonovich form (drift reduced by sigma^2/2 X), converging to the SAME
     Ito solution — the standard Ito/Stratonovich consistency check."""
     mu, sigma, T = 0.7, 0.5, 1.0
+    dtype = jnp.float32 if TPU_TIMES else jnp.float64
     f_ito = lambda t, x, a: mu * x
     f_strat = lambda t, x, a: (mu - 0.5 * sigma**2) * x
     g = lambda t, x, a: sigma * x
-    x0 = jnp.ones((1,), jnp.float64)
+    x0 = jnp.ones((1,), dtype)
     keys = jax.random.split(jax.random.PRNGKey(0), n_paths)
     rows = []
     for n_steps in (8, 16, 32, 64, 128, 256):
@@ -155,15 +221,23 @@ def sde_set(n_paths=256):
                                         + sigma * w_T)
                 return jnp.abs(sol.ys[-1][0] - exact)
 
-            errs = jax.vmap(one)(keys)
-            t_stats = benchmark(lambda: jax.vmap(one)(keys),
-                                repeats=5, warmup=1)
+            run = jax.jit(jax.vmap(one))
+            errs = run(keys)
+            # the vmapped path batch is already one device program; on the
+            # tunneled TPU subtract the measured null dispatch like the
+            # other rows (the CPU path keeps the plain median)
+            t_stats = benchmark(lambda: run(keys), repeats=5, warmup=1)
+            t_val = t_stats["median_s"]
+            if TPU_TIMES:
+                null = jax.jit(lambda x: x + 1.0)
+                n_stats = benchmark(lambda: null(x0), repeats=5, warmup=1)
+                t_val = max(t_val - n_stats["median_s"], 1e-12)
             rows.append(dict(set="gbm_strong", solver=name,
                              dt=float(T / n_steps),
                              rhs_evals=n_steps * (1 if name == "EulerMaruyama"
                                                   else 2),
                              err=float(f"{float(jnp.mean(errs)):.3g}"),
-                             time_s=float(f"{t_stats['median_s']:.3g}")))
+                             time_s=float(f"{t_val:.3g}")))
     return rows
 
 
@@ -203,6 +277,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sets", default="nonstiff,stiff,sde")
     ap.add_argument("--plot", action="store_true")
+    ap.add_argument("--tpu-times", action="store_true",
+                    help="measure the time axis on the default (TPU) "
+                         "backend in f32, chained + null-subtracted; "
+                         "errors score against a host-CPU f64 reference")
     ap.add_argument("--out", default=None,
                     help="write rows to this JSON artifact "
                          "(e.g. benchmarks/work_precision_r04.json)")
@@ -227,7 +305,14 @@ def main():
     if args.out:
         payload = dict(platform=jax.devices()[0].platform,
                        device=str(jax.devices()[0]),
-                       x64=bool(jax.config.jax_enable_x64), rows=rows)
+                       x64=bool(jax.config.jax_enable_x64),
+                       time_def=("chained K=%d device programs, null "
+                                 "dispatch subtracted, best of 5 "
+                                 "(f32 on device; errors vs host-CPU f64 "
+                                 "Vern7 reference)" % CHAIN_K
+                                 if TPU_TIMES else
+                                 "median synced wall of the compiled "
+                                 "solve, 5 repeats"), rows=rows)
         Path(args.out).write_text(json.dumps(payload, indent=1) + "\n")
         print(f"wrote {args.out}")
     if args.plot:

@@ -48,6 +48,13 @@ def main():
                     help="reference-scale grids (128 tracer, 128x2x128 RT)")
     ap.add_argument("--plot", action="store_true",
                     help="write the horizontal-average evolution figure")
+    ap.add_argument("--bc", default="periodic",
+                    choices=("periodic", "rigid_lid"),
+                    help="RT vertical boundary treatment: periodic-z "
+                         "(single-FFT fast path, default) or the "
+                         "reference tank's rigid lids "
+                         "(rayleigh_taylor_instability_3d.jl:23-32, "
+                         "image-charge FFT pressure solve)")
     args = ap.parse_args()
 
     # --- forced advection-diffusion tracer (advection_diffusion_3d.jl) ---
@@ -72,11 +79,12 @@ def main():
         shape, endt = (64, 4, 64), 4.0
     t0 = time.perf_counter()
     ts, z, b = rayleigh_taylor_3d(
-        N=shape, end_time=endt, save_every=0.1, key=jax.random.PRNGKey(1))
+        N=shape, end_time=endt, save_every=0.1, key=jax.random.PRNGKey(1),
+        bc=args.bc)
     wall = time.perf_counter() - t0
     n_cells = shape[0] * shape[1] * shape[2]
-    print(f"rayleigh-taylor: {shape} grid ({n_cells} cells), {len(ts)} saves "
-          f"to t={ts[-1]:.3f} in {wall:.2f}s")
+    print(f"rayleigh-taylor: {shape} grid ({n_cells} cells, bc={args.bc}), "
+          f"{len(ts)} saves to t={ts[-1]:.3f} in {wall:.2f}s")
     assert np.isfinite(b).all()
     if not args.quick:
         # mixing: the initial ±1 step profile homogenizes — the mid-depth
@@ -92,6 +100,9 @@ def main():
     # --quick smoke runs must not clobber the committed training dataset
     out_name = ("rt_horizontal_averages_quick.npz" if args.quick
                 else "rt_horizontal_averages.npz")
+    if args.bc != "periodic":
+        # a rigid-lid run must not clobber the committed periodic dataset
+        out_name = out_name.replace(".npz", f"_{args.bc}.npz")
     out = os.path.join(out_dir, out_name)
     np.savez(out, t=ts, z=z, b=b)
     print(f"wrote {out} (b shape {b.shape})")

@@ -347,7 +347,8 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
     print(f"plots written to {outdir}")
 
 
-def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
+def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29),
+                 bfgs_rounds=None, lm_rounds=None):
     """Construct the staged lane programs (train → judge → SR3 arms).
 
     ``mesh``: optional ``jax.sharding.Mesh`` (e.g.
@@ -367,6 +368,11 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
     study's shared data/constants.
     """
     import types
+
+    # None -> the module globals AT CALL TIME (tests monkeypatch them to
+    # reduced budgets; def-time defaults would bypass the patching)
+    bfgs_rounds = BFGS_ROUNDS if bfgs_rounds is None else bfgs_rounds
+    lm_rounds = LM_ROUNDS if lm_rounds is None else lm_rounds
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -638,23 +644,24 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
         contains = act1[i_xy] & act2[i_xy]
         return exact, contains, C_sel[:, 0], C_sel[:, 1]
 
-    @jax.jit
-    @jax.vmap
-    def combo_stage(key, mag, c1_t, c2_t, c1_w, c2_w):
-        """Cross-arm playoff: the trained-NN arm's selected model and the
-        weak-form arm's selected model enter ONE simulation-refit judge as
-        a 2-rung candidate set per equation (all 4 cross-equation combos
-        refit, ``refit_all=True``) — the judge that already separates
-        structures inside each arm also decides *between* the two
-        estimators, per lane, with no new machinery.  No training gate:
-        when a lane's training went bad its trained candidate simply loses
-        the playoff to the weak candidate by refit loss."""
+    def _playoff_body(key, mag, cands1, cands2):
+        """Cross-arm playoff core: ``cands1``/``cands2`` are (n_cand, m)
+        stacked per-equation candidate coefficient vectors (one row per
+        estimator arm); all n_cand² cross-equation combos enter ONE
+        simulation-refit judge (``refit_all=True``) — the judge that
+        already separates structures inside each arm also decides *between*
+        the estimators, per lane, with no new machinery.  No training
+        gate: when a lane's training went bad its trained candidate loses
+        the playoff — usually by refit loss, though the judge's usual
+        rules still apply (combos above ``max_total_support`` are gated
+        out, and within the loss band the sparser structure wins)."""
         k_noise, _ = jax.random.split(key)  # same lane data as adam_stage
         data = make_data(k_noise, mag)
-        cand1 = (jnp.stack([c1_t, c1_w]), jnp.ones((2,), bool))
-        cand2 = (jnp.stack([c2_t, c2_w]), jnp.ones((2,), bool))
-        sizes1 = jnp.stack([(c1_t != 0.0).sum(), (c1_w != 0.0).sum()])
-        sizes2 = jnp.stack([(c2_t != 0.0).sum(), (c2_w != 0.0).sum()])
+        n_cand = cands1.shape[0]
+        cand1 = (cands1, jnp.ones((n_cand,), bool))
+        cand2 = (cands2, jnp.ones((n_cand,), bool))
+        sizes1 = (cands1 != 0.0).sum(axis=1)
+        sizes2 = (cands2 != 0.0).sum(axis=1)
         C_sel, _, _ = sd.select_by_simulation(
             [cand1, cand2], dense_rhs, data[0], 0.0, t_end, data,
             ude.Tsit5(), n_step, sub=SUB, rel_factor=1.5, max_rel=1.0,
@@ -668,6 +675,16 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
         exact = jnp.all(act1 == want) & jnp.all(act2 == want)
         contains = act1[i_xy] & act2[i_xy]
         return exact, contains, C_sel[:, 0], C_sel[:, 1]
+
+    # n-candidate form: extras = stacked (n_runs, n_cand, m) per equation
+    playoff_stage = jax.jit(jax.vmap(_playoff_body))
+
+    @jax.jit
+    @jax.vmap
+    def combo_stage(key, mag, c1_t, c2_t, c1_w, c2_w):
+        """Two-arm playoff (trained vs weak) — see ``_playoff_body``."""
+        return _playoff_body(key, mag, jnp.stack([c1_t, c1_w]),
+                             jnp.stack([c2_t, c2_w]))
 
     probe_stats = {}
 
@@ -700,7 +717,7 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
             t_adam, t_s = time.time() - t_s, time.time()
         loss = jnp.full((theta.shape[0],), jnp.inf, jnp.float32)
         hists = [hist_a]
-        for _ in range(BFGS_ROUNDS):
+        for _ in range(bfgs_rounds):
             theta, loss, h = bfgs_round(theta, data)
             hists.append(h)
         # per-lane ADAM+BFGS loss trajectory (the reference's archived
@@ -719,7 +736,7 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
         if probe:
             jax.block_until_ready(theta)
             t_bfgs, t_s = time.time() - t_s, time.time()
-        for _ in range(LM_ROUNDS):
+        for _ in range(lm_rounds):
             theta, loss = lm_round(theta, data)
         if probe:
             jax.block_until_ready(theta)
@@ -743,7 +760,7 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
             # ~one null RTT of tunnel latency (host runahead can hide part
             # of it, so this bounds dispatch cost from above and device
             # share from below)
-            n_disp = (1 + BFGS_ROUNDS + LM_ROUNDS
+            n_disp = (1 + bfgs_rounds + lm_rounds
                       + -(-n_l // RECOVER_CHUNK))
             disp = n_disp * rtt
             probe_stats.update(
@@ -768,10 +785,11 @@ def build_stages(mesh=None, weak_widths=(9, 13, 17, 21, 25, 29)):
         return rec + (hist, loss)
 
     return types.SimpleNamespace(
-        ts=ts, X=X, x_mean=x_mean, shard=shard,
+        ts=ts, X=X, x_mean=x_mean, shard=shard, weak_widths=weak_widths,
         adam_stage=adam_stage, bfgs_round=bfgs_round, lm_round=lm_round,
         recover_stage=recover_stage, oracle_stage=oracle_stage,
         weak_stage=weak_stage, combo_stage=combo_stage,
+        playoff_stage=playoff_stage,
         pipeline=pipeline, probe_stats=probe_stats)
 
 
@@ -810,16 +828,97 @@ def sample_thetas(per_level=5, runs_per_level=100,
     print("  final losses:", np.round(np.asarray(loss), 5))
 
 
+def attribution(chunk=CHUNK):
+    """Judge-oracle attribution of the residual high-noise combo gap: run
+    the SAME cross-arm playoff over the archived 500 study lanes with the
+    TRUE structure injected as a third candidate per equation (support
+    {x·y}, coefficients −β/+γ — the judge refits them anyway).  Per level
+    this measures P(judge picks truth | truth is offered):
+
+    * judge-oracle exact ≈ the oracle ceiling → the judge is NOT the
+      limiter; the combo residual is estimator diversity (on the failing
+      lanes neither the trained nor the weak arm OFFERED the truth).
+    * judge-oracle exact ≪ ceiling → the judge's loss-band statistics are
+      the limiter even when truth is on the table.
+
+    Requires a completed study archive (``results/loop_study.npz`` with the
+    weak/combo fields).  Results archived to ``results/attribution.npz``.
+    Reference anchor: loop_evaluation.jl:102-130 (which never separates
+    these failure modes — its rates exist only at runtime)."""
+    res_dir = Path(__file__).parent / "results"
+    z = np.load(res_dir / "loop_study.npz")
+    c1_t, c2_t = np.asarray(z["coef1"]), np.asarray(z["coef2"])
+    c1_w, c2_w = np.asarray(z["coef1_weak"]), np.asarray(z["coef2_weak"])
+    exact_c = np.asarray(z["exact_combo"])
+    exact_o = np.asarray(z["exact_oracle"])
+    n_levels, runs_per_level = exact_c.shape
+    n_runs = n_levels * runs_per_level
+    m = len(BASIS)
+    st = build_stages()
+    tr1 = np.zeros(m, np.float32)
+    tr1[I_XY] = -float(lv.P_TRUE[1])
+    tr2 = np.zeros(m, np.float32)
+    tr2[I_XY] = float(lv.P_TRUE[2])
+    # non-finite candidates (a lane whose arm never produced a model) are
+    # zeroed: a zero candidate has support 0 < 1 per equation and its combos
+    # lose to any finite structure by refit loss
+    c1_t = np.where(np.isfinite(c1_t), c1_t, 0.0).astype(np.float32)
+    c2_t = np.where(np.isfinite(c2_t), c2_t, 0.0).astype(np.float32)
+    cands1 = np.stack([c1_t, c1_w,
+                       np.broadcast_to(tr1, c1_t.shape)], axis=1)
+    cands2 = np.stack([c2_t, c2_w,
+                       np.broadcast_to(tr2, c2_t.shape)], axis=1)
+    keys = jax.random.split(jax.random.PRNGKey(42), n_runs)
+    mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32), runs_per_level)
+    t0 = time.time()
+    outs = []
+    for c0 in range(0, n_runs, chunk):
+        idx = jnp.arange(c0, min(c0 + chunk, n_runs))
+        out = st.playoff_stage(keys[idx], mags[idx],
+                               jnp.asarray(cands1)[idx],
+                               jnp.asarray(cands2)[idx])
+        jax.block_until_ready(out[0])
+        outs.append(tuple(np.asarray(o) for o in out))
+        print(f"  attribution {min(c0 + chunk, n_runs)}/{n_runs} lanes "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    ex = np.concatenate([o[0] for o in outs]).reshape(n_levels,
+                                                      runs_per_level)
+    co = np.concatenate([o[1] for o in outs]).reshape(n_levels,
+                                                      runs_per_level)
+    np.savez(res_dir / "attribution.npz", exact=ex, contains=co,
+             coef1=np.concatenate([o[2] for o in outs]),
+             coef2=np.concatenate([o[3] for o in outs]),
+             noise=np.asarray(NOISE_LEVELS),
+             exact_combo=exact_c, exact_oracle=exact_o)
+    print("judge-oracle attribution (truth injected as a 3rd playoff "
+          "candidate on every archived lane):")
+    print(f"{'noise':>8} | {'judge-oracle':>12} | {'combo':>6} | "
+          f"{'ceiling':>7} | verdict")
+    for lvl, mag in enumerate(NOISE_LEVELS):
+        jo, cb, ce = ex[lvl].mean(), exact_c[lvl].mean(), exact_o[lvl].mean()
+        verdict = ("judge ok -> diversity gap" if jo >= ce - 0.02
+                   else "judge is the limiter")
+        print(f"{mag:8.0e} | {jo:12.1%} | {cb:6.1%} | {ce:7.1%} | {verdict}")
+    print(f"archived to {res_dir/'attribution.npz'} "
+          f"({time.time() - t0:.0f}s)")
+    return ex, co
+
+
 def main(runs_per_level=100, plot=False, resume=True, archive=True,
-         mesh=None, chunk=CHUNK, assert_gates=True, oracle=True, weak=True):
+         mesh=None, chunk=CHUNK, assert_gates=True, oracle=True, weak=True,
+         bfgs_rounds=None, lm_rounds=None):
     """Drive the full noise-robustness study; see :func:`build_stages` for
-    the mesh semantics.  ``chunk`` must divide by the mesh size."""
+    the mesh semantics.  ``chunk`` must divide by the mesh size.
+    ``bfgs_rounds``/``lm_rounds`` override the training schedule (the
+    LM-first throughput experiment's knob — benchmarks/lm_schedule.py)."""
+    bfgs_rounds = BFGS_ROUNDS if bfgs_rounds is None else bfgs_rounds
+    lm_rounds = LM_ROUNDS if lm_rounds is None else lm_rounds
     n_levels = len(NOISE_LEVELS)
     n_runs = n_levels * runs_per_level
     if mesh is not None:
         assert chunk % mesh.size == 0, (
             f"chunk {chunk} must be a multiple of the mesh size {mesh.size}")
-    st = build_stages(mesh)
+    st = build_stages(mesh, bfgs_rounds=bfgs_rounds, lm_rounds=lm_rounds)
     pipeline = st.pipeline
     noise_mags = jnp.repeat(jnp.asarray(NOISE_LEVELS, jnp.float32),
                             runs_per_level)
@@ -828,7 +927,12 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     print(f"{n_runs} recoveries ({n_levels} levels × {runs_per_level}); "
           f"chunks of {chunk} lanes"
           + (f" sharded over {mesh.size} devices" if mesh is not None else "")
-          + f", {BFGS_ROUNDS}×{BFGS_ITERS_PER_ROUND} BFGS rounds", flush=True)
+          + f", {bfgs_rounds}×{BFGS_ITERS_PER_ROUND} BFGS + "
+          f"{lm_rounds} LM rounds", flush=True)
+    if (bfgs_rounds, lm_rounds) != (BFGS_ROUNDS, LM_ROUNDS):
+        # chunk archives do not encode the schedule: a non-default run must
+        # not write resume checkpoints a default study would pick up
+        assert not archive, "schedule overrides require archive=False"
     # Per-chunk group-append checkpointing (loop_recoveries.jl:132-140 —
     # the reference appends each run to the shared JLD2 inside the loop, so
     # a killed study resumes where it stopped; our unit is the lane chunk).
@@ -899,6 +1003,11 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     # gate-failing lane gets ONE second init key — same noisy dataset —
     # and counts failed only if both attempts miss the gate.
     idx_fail = np.nonzero(~fields[2].astype(bool))[0]
+    # pre-restart snapshot: the chunk archives alone reproduce THESE rates;
+    # the published trained-arm rates additionally carry the restart
+    # overlay below — archiving both makes the overlay independently
+    # checkable from loop_study.npz (VERDICT r4 weak #5)
+    exact_pre_restart = fields[0].copy()
     restart_wall = 0.0  # retraining seconds actually spent (0 when resumed)
     if idx_fail.size:
         gname = f"loop_restart_r{runs_per_level}"
@@ -965,19 +1074,31 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
               f"{contains_sr3d[lvl].mean():8.1%} | "
               f"{exact_sr3d[lvl].mean():10.1%}")
 
-    def selection_pass(stage, label, suffix, extras=()):
+    def selection_pass(stage, label, suffix, extras=(), cfg=()):
         """Chunked, resumable selection-only pass (no training): shared by
         the oracle (identifiability-ceiling), weak-form, and combo arms.
         One stage dispatch per lane chunk (same watchdog budget as the
         recovery stage); per-chunk groups resume like the training chunks.
         ``extras``: per-lane (n_runs, ...) arrays passed to the stage after
-        (keys, mags) — the combo playoff's candidate coefficients."""
+        (keys, mags) — the combo playoff's candidate coefficients.
+        ``cfg``: hashable stage configuration (e.g. the weak arm's window
+        widths).  Both cfg and the extras arrays are digested into the
+        chunk group names, so rerunning with different widths — or after
+        the restart pass changed the trained coefficients a combo pass
+        consumes — recomputes instead of silently resuming stale chunks
+        (ADVICE r4)."""
+        import hashlib
+
+        h = hashlib.sha1(repr(cfg).encode())
+        for e in extras:
+            h.update(np.ascontiguousarray(np.asarray(e)).tobytes())
+        tag = h.hexdigest()[:8]
         t_p = time.time()
         akeys = tuple(f"{f}_{suffix}" for f in
                       ("exact", "contains", "coef1", "coef2"))
         parts = []
         for c0 in range(0, n_runs, chunk):
-            gname = f"loop_{label}_r{runs_per_level}_{c0:04d}"
+            gname = f"loop_{label}_r{runs_per_level}_{tag}_{c0:04d}"
             n_expect = min(c0 + chunk, n_runs) - c0
             if resume and gname in arch:
                 g = arch.load(gname)
@@ -1027,7 +1148,7 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
     combo_wall = 0.0
     if weak:
         exact_w, contains_w, c1_w, c2_w, weak_wall = selection_pass(
-            st.weak_stage, "weak", "w")
+            st.weak_stage, "weak", "w", cfg=("widths", st.weak_widths))
         print("weak-form arm (training-free: integral regression on the "
               "same noisy lanes + the same judge — sindy/weak.py):")
         print(f"{'noise':>8} | {'weak x*y':>9} | {'weak exact':>10} "
@@ -1052,6 +1173,8 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
 
     if archive:
         arch.save("loop_study", exact=jnp.asarray(exact),
+                  exact_pre_restart=jnp.asarray(
+                      exact_pre_restart.reshape(n_levels, runs_per_level)),
                   contains=jnp.asarray(contains), coef1=jnp.asarray(c1),
                   coef2=jnp.asarray(c2), noise=jnp.asarray(NOISE_LEVELS),
                   final_loss=jnp.asarray(fin_loss),
@@ -1136,6 +1259,11 @@ if __name__ == "__main__":
                     help="train 2 study lanes per noise level and archive "
                          "their trained parameter vectors (the solver-"
                          "contract test's excursion draws)")
+    ap.add_argument("--attribution", action="store_true",
+                    help="judge-oracle attribution: rerun the playoff over "
+                         "the archived study lanes with the TRUE structure "
+                         "injected as a 3rd candidate (requires a completed "
+                         "loop_study.npz with the weak/combo fields)")
     ap.add_argument("--fresh", action="store_true",
                     help="discard per-chunk checkpoints and recompute "
                          "(default resumes an interrupted study, the "
@@ -1157,6 +1285,8 @@ if __name__ == "__main__":
                 p.unlink()
     if args.theta_samples:
         sample_thetas()
+    elif args.attribution:
+        attribution()
     elif args.plot_only:
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],

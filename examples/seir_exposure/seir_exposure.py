@@ -228,18 +228,62 @@ def main(quick=False, plot=False):
     print("ideal-recovery:", res_ideal.equations("dz")[0][:100])
     print("UDE-recovery:  ", res_ude.equations("dz")[0][:100])
 
+    # Weak-form arm (sindy/weak.py — capability extension; the reference's
+    # recovery triad regresses pointwise targets only,
+    # seir_exposure.jl:191-229): recover the exposure DIRECTLY from the
+    # noisy observables, no NN and no training.  z enters dE with +
+    # (corona!, seir_exposure.jl:16-29); every known term moves to the
+    # target side, and the E equation's weak rows form the regression.
+    # The S equation carries z too (with −), but S ~ 0.9 while z ~ 3e-6:
+    # the daily-sample quadrature bias on ∫φ'S sits orders of magnitude
+    # above the signal (measured rel identity error 2.1 at p=5 vs 3.7e-5
+    # on the E row, whose state shares the signal's 1e-5 scale), so the
+    # S row is excluded.  The basis lives on the derived features
+    # [S/N, 1e5·I, 1e5·D/N] (weak_pair(features=...)) while the ∫φ'u
+    # side stays on the raw observables.
+    def known_no_z(u):
+        S, E, I, R, Nn, D, Cc = u
+        imported = beta0 * S * F_n / Nn
+        return jnp.stack([
+            -imported - mu_ * S,
+            imported - (sigma_ + mu_) * E,
+            sigma_ * E - (gamma_ + mu_) * I,
+            gamma_ * I - mu_ * R,
+            -mu_ * Nn,
+            d_ * gamma_ * I - lam_ * D,
+            sigma_ * E,
+        ])
+
+    feats_fn = lambda u: jnp.stack([u[0] / u[4], 1e5 * u[2],
+                                    1e5 * u[5] / u[4]])
+    Gw, Bw = sd.weak_pair(ts, data, basis, known_no_z,
+                          widths=(13, 17, 21), p=5, features=feats_fn)
+    # dE = known + z with z = 1e-5·Θ(feats)·ξ
+    y_w = Bw[:, 1] * 1e5
+    G_w = Gw
+
+    @jax.jit
+    def weak_select():
+        lad = sd.cv_ladder(G_w, y_w, opt_grid, 4, per_size=2,
+                           extra_supports=masks_small)
+        return sd.select_by_simulation(
+            [lad], dense_rhs, seir.U0_NORM * SCALES, 0.0, 21.0, data_s,
+            ude.Tsit5(), n_steps, sub=SUBS, rel_factor=1.5,
+            refit_iters=100, loss_floor=1e-4, max_total_support=4,
+            sizes=[rung_sizes], refit_all=True)
+
+    C_wsel, refit_loss_w, k_w = weak_select()
+    act_w = np.asarray(C_wsel[:, 0] != 0.0)
+    res_weak = _dc.replace(
+        res_ideal, coefficients=np.asarray(C_wsel), active=act_w[:, None],
+        sparsity=np.asarray([act_w.sum()]),
+    )
+    print(f"weak-form arm: k={int(k_w)} terms, refit loss "
+          f"{float(refit_loss_w):.3g} (training-free)")
+    print("weak-recovery: ", res_weak.equations("dz")[0][:100])
+
     # recovered model extrapolation to day 60 (seir_exposure.jl:248-253)
     ts60 = jnp.arange(0.0, 60.1, 1.0)
-    rec_rhs = seir.make_recovered_rhs(res_ude)
-    rec_s = ude.solve(
-        rescale_problem(
-            ude.ODEProblem(rec_rhs, seir.U0_NORM, (0.0, 60.0),
-                           jnp.asarray(res_ude.parameters())), SCALES
-        ),
-        ude.Tsit5(), saveat=ts60, rtol=1e-6, atol=1e-8, adjoint=ude.NoAdjoint(),
-    )
-    import dataclasses as _dc
-    rec = _dc.replace(rec_s, ys=rec_s.ys / SCALES[None, :])
     truth60 = ude.solve(
         ude.ODEProblem(seir.corona_rhs, seir.U0_NORM, (0.0, 60.0), seir.P_SEIR),
         ude.Vern7(), saveat=ts60, rtol=1e-10, atol=1e-12, adjoint=ude.NoAdjoint(),
@@ -247,14 +291,36 @@ def main(quick=False, plot=False):
     )
     assert bool(truth60.success), "day-60 truth solve must converge"
     scale = float(jnp.abs(truth60.ys[:, 1:4]).max())
-    err = float(jnp.abs(rec.ys[:, 1:4] - truth60.ys[:, 1:4]).max()) / scale
+
+    def extrapolate(res):
+        rec_rhs = seir.make_recovered_rhs(res)
+        rec_s = ude.solve(
+            rescale_problem(
+                ude.ODEProblem(rec_rhs, seir.U0_NORM, (0.0, 60.0),
+                               jnp.asarray(res.parameters())), SCALES
+            ),
+            ude.Tsit5(), saveat=ts60, rtol=1e-6, atol=1e-8,
+            adjoint=ude.NoAdjoint(),
+        )
+        rec = _dc.replace(rec_s, ys=rec_s.ys / SCALES[None, :])
+        e = float(jnp.abs(rec.ys[:, 1:4] - truth60.ys[:, 1:4]).max()) / scale
+        return rec, e
+
+    rec, err = extrapolate(res_ude)
+    rec_w, err_w = extrapolate(res_weak)
     print(f"recovered-model extrapolation to day 60: success={bool(rec.success)}, "
           f"rel err on E,I,R = {err:.3f}")
+    print(f"weak-form-model extrapolation to day 60: "
+          f"success={bool(rec_w.success)}, rel err on E,I,R = {err_w:.3f} "
+          f"(training-free vs the trained arm's {err:.3f})")
     if not quick:
         # a clamped tail freezes the (small) late-time states and could
         # sneak under the peak-normalized error bound untested
         assert bool(rec.success), "recovered-model day-60 solve must finish"
         assert err < 0.15, f"recovered model must extrapolate (rel err {err:.2f})"
+        assert bool(rec_w.success), "weak-form day-60 solve must finish"
+        assert err_w < 0.15, (
+            f"weak-form model must extrapolate (rel err {err_w:.2f})")
 
     if plot:
         # seir_exposure.jl figure analogues: the learned exposure term vs
@@ -279,7 +345,7 @@ def main(quick=False, plot=False):
         viz.save(fig, outdir / "seir_extrapolation.pdf")
         print(f"plots written to {outdir}")
 
-    return dict(extrap_rel_err=err)
+    return dict(extrap_rel_err=err, extrap_rel_err_weak=err_w)
 
 
 if __name__ == "__main__":

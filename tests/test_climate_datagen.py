@@ -66,6 +66,86 @@ def test_rayleigh_taylor_mixes_and_stays_bounded():
     assert z[0] < 0 < z[-1]
 
 
+def test_rigid_lid_projection_divergence_free_and_idempotent():
+    # _project_rigid solves the wall-bounded pressure problem by mirror
+    # extension: the projected extended field must be spectrally
+    # divergence-free, the projector idempotent, and the w-extension's
+    # odd symmetry preserved (no penetration at the walls at the level of
+    # the trigonometric interpolant).
+    from universal_differential_equations_tpu.models.climate_datagen import (
+        _ext_even, _ext_odd, _project_rigid)
+
+    key = jax.random.PRNGKey(2)
+    N = 8
+    u, v, w = jax.random.normal(key, (3, N, N, N))
+    kh = _wavenumbers(N, 1.0)
+    kzf = _wavenumbers(2 * N, 2.0)
+    kx = kh[:, None, None] * jnp.ones((1, N, 2 * N))
+    ky = kh[None, :, None] * jnp.ones((N, 1, 2 * N))
+    kz = kzf[None, None, :] * jnp.ones((N, N, 1))
+    up, vp, wp = _project_rigid(u, v, w, kx, ky, kz)
+    ue, ve, we = _ext_even(up), _ext_even(vp), _ext_odd(wp)
+    div = (kx * jnp.fft.fftn(ue) + ky * jnp.fft.fftn(ve)
+           + kz * jnp.fft.fftn(we))
+    scale = max(float(jnp.abs(jnp.fft.fftn(ue)).max()), 1.0)
+    assert float(jnp.abs(div).max()) < 1e-6 * scale
+    up2, vp2, wp2 = _project_rigid(up, vp, wp, kx, ky, kz)
+    assert float(jnp.abs(up2 - up).max()) < 1e-8
+    assert float(jnp.abs(wp2 - wp).max()) < 1e-8
+
+
+def test_rigid_lid_rt_no_penetration_and_conservation():
+    # The wall-bounded RT tank (the reference's default,
+    # rayleigh_taylor_instability_3d.jl:23-32): after the instability
+    # develops, (a) buoyancy is conserved (no-flux lids), (b) the
+    # wall-adjacent wall-normal velocity stays far below the interior
+    # maximum (no penetration; cell centers sit dz/2 from the wall so it
+    # is small-but-nonzero), and (c) the profiles mix like the periodic
+    # variant.
+    from universal_differential_equations_tpu.models.climate_datagen import (
+        _rt_stepper)
+
+    N = (16, 2, 16)
+    state, z, chunk, dx = _rt_stepper(
+        N, (1.0, 0.125, 1.0), 1e-4, 1e-4, 1.0, 10,
+        jax.random.PRNGKey(3), jnp.float64, bc="rigid_lid")
+    b_tot0 = float(jnp.sum(state[3]))
+    b_scale = float(jnp.sum(jnp.abs(state[3])))  # ±1 slab: sum b ≈ 0
+    for _ in range(12):
+        state, umax = chunk(state, jnp.asarray(2e-3, jnp.float64))
+    u, v, w, b = state
+    assert all(bool(jnp.all(jnp.isfinite(f))) for f in state)
+    # (a) no-flux lids conserve total buoyancy to the advective-form
+    # donor-cell scheme's rounding (the scheme is not exactly conservative
+    # even on the periodic torus; no wall-flux term may add to that)
+    assert abs(float(jnp.sum(b)) - b_tot0) < 1e-6 * b_scale
+    # (b) instability developed, and the lid cells are quiet
+    w_int = float(jnp.abs(w).max())
+    assert w_int > 1e-4, "instability never developed"
+    w_wall = max(float(jnp.abs(w[:, :, 0]).max()),
+                 float(jnp.abs(w[:, :, -1]).max()))
+    assert w_wall < 0.2 * w_int, (w_wall, w_int)
+    # (c) b stays monotone-bounded like the periodic variant
+    assert float(jnp.abs(b).max()) <= 1.0 + 1e-6
+
+
+def test_rigid_lid_vs_periodic_dataset_shift_small():
+    # The quantified fidelity question from the periodic-z deviation note:
+    # how far do the training profiles move when the lids are honest?
+    # Measured here on the 32x2x32 smoke grid; the reference-scale
+    # (128x2x128) number is committed by benchmarks/run_all.py row 6's
+    # extra.  The shift must be nonzero (the BCs differ) but small
+    # relative to the profile scale.
+    kwargs = dict(N=(32, 2, 32), end_time=1.0, save_every=0.25, ni=5,
+                  key=jax.random.PRNGKey(4))
+    ts_p, z, bp = rayleigh_taylor_3d(bc="periodic", **kwargs)
+    ts_r, _, br = rayleigh_taylor_3d(bc="rigid_lid", **kwargs)
+    n = min(bp.shape[0], br.shape[0])
+    shift = (np.linalg.norm(bp[:n] - br[:n])
+             / max(np.linalg.norm(bp[:n]), 1e-30))
+    assert 0.0 < shift < 0.2, shift
+
+
 def test_advection_diffusion_sharded_matches_single_device():
     """Same SPMD recipe on the forced-tracer generator (roll halos only,
     no FFT): sharded profiles match single-device."""

@@ -211,3 +211,17 @@ def test_combo_playoff_picks_true_structure_from_either_arm():
     assert int(jnp.sum(ex_a)) >= 3, np.asarray(ex_a)
     assert int(jnp.sum(ex_b)) >= 3, np.asarray(ex_b)
     assert bool(jnp.all(co_a == ex_a)) and bool(jnp.all(co_b == ex_b))
+
+    # judge-oracle attribution semantics (run_loops.attribution): the same
+    # playoff with the TRUE structure injected as a third candidate — when
+    # both arms are wrong, the judge must still find the truth, so a lane
+    # that fails the attribution arm marks the JUDGE (not estimator
+    # diversity) as the limiter
+    wrong1b = jnp.zeros((m,)).at[rl.BASIS.names.index("u2")].set(0.3)
+    wrong2b = jnp.zeros((m,)).at[rl.BASIS.names.index("u1^2")].set(-0.2)
+    cands1 = jnp.stack([wrong1, wrong1b, true1])
+    cands2 = jnp.stack([wrong2, wrong2b, true2])
+    ex_o, co_o, _, _ = st.playoff_stage(
+        keys, mags, jnp.tile(cands1[None], (n, 1, 1)),
+        jnp.tile(cands2[None], (n, 1, 1)))
+    assert int(jnp.sum(ex_o)) >= 3, np.asarray(ex_o)

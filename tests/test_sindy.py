@@ -620,6 +620,19 @@ def test_weak_test_functions_integration_by_parts():
     assert row_norms.max() / row_norms.min() < 3.0
 
 
+def test_weak_degenerate_window_guard_f32():
+    # A window whose samples coincide in time has ||phi||_L2 = 0; the norm
+    # guard must be representable in float32 (the package's TPU default —
+    # a 1e-300 literal underflows to exactly 0.0 there, reintroducing 0/0)
+    # so the degenerate row comes out finite (all zeros), not NaN.
+    ts = jnp.asarray([0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 4.0], jnp.float32)
+    Phi, dPhi = sd.test_function_matrices(ts, width=3, p=5)
+    assert Phi.dtype == jnp.float32
+    assert np.isfinite(np.asarray(Phi)).all()
+    assert np.isfinite(np.asarray(dPhi)).all()
+    np.testing.assert_array_equal(np.asarray(Phi[0]), 0.0)
+
+
 def test_weak_pair_clean_lv_missing_terms():
     # Clean trajectory, known linear physics moved to the target side:
     # the weak pair must be solved exactly by the true missing-term
@@ -673,6 +686,61 @@ def test_weak_statistics_beat_pointwise_at_high_noise():
     med_w, med_p = np.median(err_weak), np.median(err_pt)
     assert med_w < 0.3 * med_p, (err_weak, err_pt)
     assert med_w < 0.35, err_weak
+
+
+def test_weak_pair_seir_exposure_features():
+    # The SEIR exposure case (seir_exposure.py weak arm): z enters dE with
+    # +; weak_pair(features=...) must put the basis on the derived
+    # coordinates while the ∫φ'u side stays on the raw observables.  On
+    # the clean trajectory the E-equation weak target must equal the
+    # quadrature of the true exposure itself — the identity the
+    # training-free recovery rests on.  (The S equation also carries z,
+    # but S ~ 0.9 vs z ~ 3e-6: its daily-sample quadrature bias dwarfs
+    # the signal — measured rel error 2.1 vs the E row's 3.7e-5 — which
+    # is why the example regresses the E row only.)
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.models import seir
+
+    ts = jnp.arange(0.0, 21.1, 1.0)
+    truth = ude.solve(
+        ude.ODEProblem(seir.corona_rhs, seir.U0_NORM, (0.0, 21.0),
+                       seir.P_SEIR),
+        ude.Vern7(), saveat=ts, rtol=1e-9, atol=1e-11,
+        adjoint=ude.NoAdjoint(), max_steps=16384)
+    assert bool(truth.success)
+    X = truth.ys
+    p_ = seir.P_SEIR
+    F_n, beta0 = float(p_[0] / seir._S0), float(p_[1])
+    mu_, sigma_, gamma_, d_, lam_ = [float(p_[i]) for i in (4, 5, 6, 7, 8)]
+
+    def known_no_z(u):
+        S, E, I, R, Nn, D, Cc = u
+        imported = beta0 * S * F_n / Nn
+        return jnp.stack([
+            -imported - mu_ * S, imported - (sigma_ + mu_) * E,
+            sigma_ * E - (gamma_ + mu_) * I, gamma_ * I - mu_ * R,
+            -mu_ * Nn, d_ * gamma_ * I - lam_ * D, sigma_ * E])
+
+    basis = (sd.cos_basis(3) + sd.sin_basis(3)
+             + sd.tensor_polynomial_basis(3, 2))
+    feats_fn = lambda u: jnp.stack([u[0] / u[4], 1e5 * u[2],
+                                    1e5 * u[5] / u[4]])
+    widths = (13, 17, 21)
+    G, B = sd.weak_pair(ts, X, basis, known_no_z, widths=widths, p=5,
+                        features=feats_fn)
+    # features=... routed the basis through the derived coordinates
+    feats = jax.vmap(feats_fn)(X)
+    Phi = jnp.concatenate([
+        sd.test_function_matrices(ts, w, p=5)[0] for w in widths])
+    np.testing.assert_allclose(np.asarray(G),
+                               np.asarray(Phi @ basis.theta(feats)),
+                               rtol=1e-10, atol=1e-12)
+    # the E-row target reproduces the true exposure's quadrature
+    z_true = jax.vmap(lambda u: seir.true_exposure(u))(X)
+    target = np.asarray(Phi @ z_true)
+    scale = np.abs(target).max()
+    np.testing.assert_allclose(np.asarray(B[:, 1]), target, rtol=0,
+                               atol=2e-4 * scale)
 
 
 def test_weak_front_end_plumbing():

@@ -46,21 +46,25 @@ LABELS = {
          "excluded; total incl. warmup and the device-vs-dispatch "
          "attribution in the artifact's extra)",
          "{baseline_s:g} s/run (MODELED — derivation in BASELINE.md)"),
+    # the weak/combo labels render their measured rates from the row's own
+    # extra (ADVICE r4: hard-coded rates here went stale against the
+    # artifact the instant the default widths changed)
     "lv_weak_recovery_ms_per_run":
         ("LV recovery via the weak-form (training-free) arm — multi-scale "
-         "integral regression + the same simulation judge, no NN training; "
-         "exact rates 100/99/100/95/69% vs the trained arm's 96/95/93/79/53% "
-         "(per-level rates in the artifact's extra)",
+         "integral regression + the same simulation judge, no NN training"
+         "{rates_note}",
          "{baseline_s:g} s/run (MODELED — derivation in BASELINE.md)"),
     "lv_combo_recovery_ms_per_run":
         ("LV recovery via the combo pipeline (trained + weak-form arms + "
-         "per-lane playoff judge) — the study's best quality, exact rates "
-         "100/99/100/97/79% vs the 100/100/100/100/95% identifiability "
-         "ceiling (per-level rates in the artifact's extra)",
+         "per-lane playoff judge) — the study's best quality{rates_note}",
          "{baseline_s:g} s/run (MODELED — derivation in BASELINE.md)"),
     "rt_datagen_ms_per_step":
-        ("Rayleigh-Taylor 3-D data-gen step (128×2×128)",
-         "{baseline} ms/step"),
+        ("Rayleigh-Taylor 3-D data-gen step (128×2×128, periodic-z fast "
+         "path)", "{baseline} ms/step"),
+    "rt_rigid_lid_ms_per_step":
+        ("Same, rigid-lid (the reference tank's bounded-z BCs, image-"
+         "charge FFT pressure solve; b̄ dataset shift vs periodic-z in the "
+         "artifact's extra)", "{baseline} ms/step"),
     "tracer_datagen_ms_per_step_128cubed":
         ("Forced advection-diffusion tracer data-gen step (128³, the "
          "reference's own grid)",
@@ -92,6 +96,7 @@ ORDER = [
     "lv_weak_recovery_ms_per_run",
     "lv_combo_recovery_ms_per_run",
     "rt_datagen_ms_per_step",
+    "rt_rigid_lid_ms_per_step",
     "tracer_datagen_ms_per_step_128cubed",
     "fenep_surrogate_us_per_solve",
 ]
@@ -105,9 +110,27 @@ def render(artifact: dict, name: str) -> str:
     rows = sorted(artifact["rows"],
                   key=lambda r: (ORDER.index(r["metric"])
                                  if r["metric"] in ORDER else len(ORDER)))
+    def _pct(rates):
+        return "/".join(f"{100.0 * r:.0f}" for r in rates)
+
     for row in rows:
         m = row["metric"]
         label, ref_fmt = LABELS.get(m, (m, "{baseline}"))
+        if "{rates_note}" in label:
+            ex = row.get("extra", {})
+            key = next((k for k in ("exact_rates_combo", "exact_rates")
+                        if k in ex), None)
+            if key is None:
+                note = " (per-level rates in the artifact's extra)"
+            else:
+                note = (f"; exact rates on this row's measured batch "
+                        f"{_pct(ex[key])}%")
+                if "exact_rates_trained" in ex:
+                    note += (f" vs trained-arm {_pct(ex['exact_rates_trained'])}"
+                             f"% / weak-arm {_pct(ex['exact_rates_weak'])}%")
+                note += (" — the 500-lane study rates live in README prose"
+                         " + results/loop_study.npz")
+            label = label.format(rates_note=note)
         try:
             baseline = float(row["baseline"])
             ref = ref_fmt.format(baseline=row["baseline"],

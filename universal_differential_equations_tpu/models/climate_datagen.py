@@ -15,10 +15,14 @@ Two generators, mirroring the two reference scripts:
   reduction is tracer-only.)
 * ``rayleigh_taylor_3d`` (``rayleigh_taylor_instability_3d.jl:13-43``): an
   incompressible Boussinesq solve — velocity + buoyancy tracer b, unstable
-  interface ``0.05·sin(6πx)`` with b=+1 below / −1 above, ν=κ=1e-4 — on a
-  fully periodic domain (deviation: the reference uses rigid lids; periodic-z
-  keeps the pressure solve a single FFT and still produces the RT mixing
-  profiles the 1-D training pipeline consumes).
+  interface ``0.05·sin(6πx)`` with b=+1 below / −1 above, ν=κ=1e-4.  Two
+  vertical boundary treatments: the periodic-z default (single-FFT Leray
+  projection — the fast path) and ``bc="rigid_lid"``, which matches the
+  reference tank's bounded z (free-slip no-penetration lids, no-flux
+  buoyancy) with an image-charge FFT pressure solve on the mirror-doubled
+  grid (``_project_rigid``).  The measured b̄(z, t) dataset shift between
+  the two is small (see ``tests/test_climate_datagen.py`` and the
+  committed benchmark note).
 
 Both step with an adaptive-dt wizard (``TimeStepWizard(cfl=…)``) recomputed
 every ``Ni`` steps, and return horizontal averages on a regular save grid —
@@ -187,6 +191,47 @@ def _project(u, v, w, kx, ky, kz):
             jnp.fft.ifftn(wh - kz * s).real)
 
 
+def _ext_even(f):
+    """Mirror-even extension along z (cell-centered): f_{-1-j} = f_j."""
+    return jnp.concatenate([f, f[:, :, ::-1]], axis=2)
+
+
+def _ext_odd(f):
+    """Mirror-odd extension along z: f_{-1-j} = -f_j (zero at the walls)."""
+    return jnp.concatenate([f, -f[:, :, ::-1]], axis=2)
+
+
+def _project_rigid(u, v, w, kx, ky, kz):
+    """Leray projection with rigid lids in z (image-charge FFT variant).
+
+    The reference's RT tank is bounded in z
+    (``rayleigh_taylor_instability_3d.jl:23-32`` — RegularCartesianGrid
+    rigid lids); the periodic-z default documents its deviation in the
+    module docstring.  This solves the wall-bounded pressure Poisson
+    problem exactly in the symmetric subspace: extend (u, v) mirror-even
+    and w mirror-odd along z (so w's trigonometric interpolant vanishes at
+    both walls — no penetration — and p picks up homogeneous Neumann
+    walls), run the standard periodic spectral projection on the doubled
+    domain, and restrict.  Parity is preserved by the isotropic projector,
+    so the restriction is the DCT/DST mixed-basis solve without needing a
+    DST primitive.  ``kx/ky/kz`` must be the doubled-grid wavenumbers."""
+    ue, ve, we = _ext_even(u), _ext_even(v), _ext_odd(w)
+    ue, ve, we = _project(ue, ve, we, kx, ky, kz)
+    nz = u.shape[2]
+    return ue[:, :, :nz], ve[:, :, :nz], we[:, :, :nz]
+
+
+def _lap_dirichlet_z(c, dx):
+    """Periodic in x, y; odd-mirror (zero at the wall faces) top/bottom in
+    z — the free-slip rigid-lid Laplacian for the wall-normal velocity."""
+    out = (jnp.roll(c, 1, 0) - 2.0 * c + jnp.roll(c, -1, 0)) / dx[0] ** 2
+    out += (jnp.roll(c, 1, 1) - 2.0 * c + jnp.roll(c, -1, 1)) / dx[1] ** 2
+    up = jnp.concatenate([c[:, :, 1:], -c[:, :, -1:]], axis=2)
+    dn = jnp.concatenate([-c[:, :, :1], c[:, :, :-1]], axis=2)
+    out += (up - 2.0 * c + dn) / dx[2] ** 2
+    return out
+
+
 def _adv(f, u, v, w, dx):
     """Upwind (donor-cell) advection −(u·∇)f on the periodic grid.
 
@@ -203,8 +248,26 @@ def _adv(f, u, v, w, dx):
     return out
 
 
+def _adv_bounded_z(f, u, v, w, dx, parity):
+    """Donor-cell advection −(u·∇)f: periodic in x, y; mirrored ghost
+    cells in z — ``parity=+1`` (zero-gradient walls: scalars and
+    tangential velocities under free slip) or ``-1`` (zero at the wall
+    faces: the wall-normal velocity)."""
+    out = jnp.zeros_like(f)
+    for ax, vel, h in ((0, u, dx[0]), (1, v, dx[1])):
+        bwd = (f - jnp.roll(f, 1, ax)) / h
+        fwd = (jnp.roll(f, -1, ax) - f) / h
+        out -= jnp.where(vel > 0, vel * bwd, vel * fwd)
+    dn = jnp.concatenate([parity * f[:, :, :1], f[:, :, :-1]], axis=2)
+    up = jnp.concatenate([f[:, :, 1:], parity * f[:, :, -1:]], axis=2)
+    bwd = (f - dn) / dx[2]
+    fwd = (up - f) / dx[2]
+    out -= jnp.where(w > 0, w * bwd, w * fwd)
+    return out
+
+
 def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
-                mesh_axis: str = "x"):
+                mesh_axis: str = "x", bc: str = "periodic"):
     """Initial state + jitted ``ni``-step Heun/Leray chunk for the RT slab.
 
     Shared by :func:`rayleigh_taylor_3d` (the data generator's adaptive-CFL
@@ -218,7 +281,15 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
     ``NamedSharding``, and XLA's SPMD partitioner inserts the halo
     exchanges for the rolled stencils and the transpose collectives for
     the sharded Leray FFT (no hand-written ppermute).  ``N[0]`` must be
-    divisible by the mesh-axis size."""
+    divisible by the mesh-axis size.
+
+    ``bc="periodic"`` (default) is the one-FFT fully periodic slab;
+    ``bc="rigid_lid"`` matches the reference tank's bounded z
+    (``rayleigh_taylor_instability_3d.jl:23-32``): free-slip no-penetration
+    lids for velocity, no-flux for buoyancy, with the wall-bounded pressure
+    solve done by the image-charge FFT (:func:`_project_rigid`)."""
+    assert bc in ("periodic", "rigid_lid"), bc
+    rigid = bc == "rigid_lid"
     Nx, Ny, Nz = N
     dx = (L[0] / Nx, L[1] / max(Ny, 1), L[2] / Nz)
     x = -L[0] / 2 + (jnp.arange(Nx, dtype=dtype) + 0.5) * dx[0]
@@ -238,11 +309,13 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
     v = jnp.zeros_like(u)
     w = jnp.zeros_like(u)
 
+    nz_sp = 2 * Nz if rigid else Nz  # doubled image grid for rigid lids
+    lz_sp = 2.0 * L[2] if rigid else L[2]
     kx = _wavenumbers(Nx, L[0]).astype(dtype)[:, None, None] * jnp.ones(
-        (1, Ny, Nz), dtype)
+        (1, Ny, nz_sp), dtype)
     ky = _wavenumbers(Ny, L[1]).astype(dtype)[None, :, None] * jnp.ones(
-        (Nx, 1, Nz), dtype)
-    kz = _wavenumbers(Nz, L[2]).astype(dtype)[None, None, :] * jnp.ones(
+        (Nx, 1, nz_sp), dtype)
+    kz = _wavenumbers(nz_sp, lz_sp).astype(dtype)[None, None, :] * jnp.ones(
         (Nx, Ny, 1), dtype)
 
     def chunk_fn(state, dt):
@@ -250,10 +323,20 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
             u, v, w, b = state
 
             def tend(u, v, w, b):
-                du = _adv(u, u, v, w, dx) + nu * _lap_periodic(u, dx)
-                dv = _adv(v, u, v, w, dx) + nu * _lap_periodic(v, dx)
-                dw = _adv(w, u, v, w, dx) + nu * _lap_periodic(w, dx) + b
-                db = _adv(b, u, v, w, dx) + kappa * _lap_periodic(b, dx)
+                if rigid:
+                    du = (_adv_bounded_z(u, u, v, w, dx, 1.0)
+                          + nu * _lap_neumann_z(u, dx))
+                    dv = (_adv_bounded_z(v, u, v, w, dx, 1.0)
+                          + nu * _lap_neumann_z(v, dx))
+                    dw = (_adv_bounded_z(w, u, v, w, dx, -1.0)
+                          + nu * _lap_dirichlet_z(w, dx) + b)
+                    db = (_adv_bounded_z(b, u, v, w, dx, 1.0)
+                          + kappa * _lap_neumann_z(b, dx))
+                else:
+                    du = _adv(u, u, v, w, dx) + nu * _lap_periodic(u, dx)
+                    dv = _adv(v, u, v, w, dx) + nu * _lap_periodic(v, dx)
+                    dw = _adv(w, u, v, w, dx) + nu * _lap_periodic(w, dx) + b
+                    db = _adv(b, u, v, w, dx) + kappa * _lap_periodic(b, dx)
                 return du, dv, dw, db
 
             # Heun step + projection
@@ -265,7 +348,8 @@ def _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype, mesh=None,
             v2 = v + 0.5 * dt * (d1[1] + d2[1])
             w2 = w + 0.5 * dt * (d1[2] + d2[2])
             b2 = b + 0.5 * dt * (d1[3] + d2[3])
-            u2, v2, w2 = _project(u2, v2, w2, kx, ky, kz)
+            project = _project_rigid if rigid else _project
+            u2, v2, w2 = project(u2, v2, w2, kx, ky, kz)
             return (u2, v2, w2, b2), None
 
         state, _ = jax.lax.scan(step, state, None, length=ni)
@@ -346,18 +430,20 @@ def rt_step_seconds(
     ni: int = 10,
     repeats: int = 5,
     dtype=jnp.float32,
+    bc: str = "periodic",
 ):
     """Steady-state wall-clock per RT solver step at the reference's grid.
 
     Reference: ≈7-10 ms/step at 128×2×128 after warmup
     (``Climate/DataGeneration/output.txt`` progress lines).  Times the
     jitted ``ni``-step chunk post-compile (``utils.benchmark`` min-of-repeats)
-    and returns seconds per step.
+    and returns seconds per step.  ``bc="rigid_lid"`` times the
+    image-charge-FFT wall-bounded variant instead.
     """
     from ..utils import benchmark
 
     state, _, chunk, dx = _rt_stepper(
-        N, (1.0, N[1] / N[0], 1.0), 1e-4, 1e-4, 1.0, ni, None, dtype)
+        N, (1.0, N[1] / N[0], 1.0), 1e-4, 1e-4, 1.0, ni, None, dtype, bc=bc)
     dt = jnp.asarray(1e-4, dtype)
     stats = benchmark(chunk, state, dt, repeats=repeats, warmup=1)
     return stats["min_s"] / ni
@@ -377,6 +463,7 @@ def rayleigh_taylor_3d(
     dtype=jnp.float32,
     mesh=None,
     mesh_axis: str = "x",
+    bc: str = "periodic",
 ):
     """Buoyancy-driven RT mixing; returns (save_ts, z, b_profiles (T, Nz)).
 
@@ -386,9 +473,13 @@ def rayleigh_taylor_3d(
     (``:18-19``), horizontal b̄(z) averages on the save grid (``:60-76``).
     ``mesh`` domain-decomposes the slab along x across the mesh axis
     (see :func:`_rt_stepper`); the saved b̄(z) profiles are identical.
+    ``bc="rigid_lid"`` reproduces the reference tank's bounded z
+    (``:23-32``) via the image-charge FFT pressure solve — see
+    :func:`_rt_stepper`/:func:`_project_rigid`; the periodic-z default is
+    the single-FFT fast path.
     """
     state, z, chunk, dx = _rt_stepper(N, L, nu, kappa, b_amp, ni, key, dtype,
-                                      mesh=mesh, mesh_axis=mesh_axis)
+                                      mesh=mesh, mesh_axis=mesh_axis, bc=bc)
     Ny = N[1]
     min_dx = min(dx[0], dx[2]) if Ny <= 4 else min(dx)
     # buoyancy free-fall CFL: velocities reach ~sqrt(b·Δx) within a cell

@@ -105,7 +105,11 @@ def test_function_matrices(ts, width: int, stride: int = 1, p: int = 5):
         phi = raw**p
         dphi = p * raw ** (p - 1) * (a + b - 2.0 * ts)
         dphi = jnp.where(inside, dphi, 0.0)
-        norm = jnp.sqrt(jnp.sum(q * phi**2)) + 1e-300
+        # dtype-aware degenerate-window guard: a literal 1e-300 underflows
+        # to 0.0 in float32 (the package's TPU default), making it a no-op
+        # exactly where it matters
+        norm = jnp.sqrt(jnp.sum(q * phi**2))
+        norm = jnp.maximum(norm, jnp.finfo(norm.dtype).tiny)
         return q * phi / norm, q * dphi / norm
 
     Phi, dPhi = jax.vmap(one_window)(jnp.asarray(starts))
@@ -121,6 +125,7 @@ def weak_pair(
     widths: Optional[Sequence[int]] = None,
     stride: int = 1,
     p: int = 5,
+    features: Optional[Callable] = None,
 ):
     """Weak-form regression pair ``(G, B)`` from noisy state samples.
 
@@ -136,6 +141,11 @@ def weak_pair(
         UDE decomposition's retained physics (e.g. the LV linear terms,
         ``loop_recoveries.jl:17-21``); its contribution is moved to the
         target side so ξ models only the missing terms.
+      features: optional sample-wise map ``u -> (q,)`` applied before the
+        basis — for libraries expressed in derived coordinates (e.g. the
+        SEIR exposure's [S/N, 1e5·I, 1e5·D/N] features,
+        ``seir_exposure.jl:191-201``) while the derivative side ``∫φ'u``
+        stays on the raw observables.
       widths: window widths in samples, stacked multi-scale (default: one
         width ≈ N/2, at least 2p + 3 so the bump is resolved).  Prefer a
         multi-scale stack when samples are scarce: on the 31-sample LV
@@ -159,7 +169,8 @@ def weak_pair(
     mats = [test_function_matrices(ts, w, stride=stride, p=p) for w in widths]
     Phi = jnp.concatenate([m[0] for m in mats])
     dPhi = jnp.concatenate([m[1] for m in mats])
-    theta = basis.theta(X)  # (N, m)
+    feat = X if features is None else jax.vmap(features)(X)
+    theta = basis.theta(feat)  # (N, m)
     G = Phi @ theta
     B = -(dPhi @ X)
     if known_rhs is not None:
@@ -184,7 +195,9 @@ class WeakDataDrivenProblem:
     widths: Optional[Tuple[int, ...]] = None
     stride: int = 1
     p: int = 5
+    features: Optional[Callable] = None
 
     def realize(self, basis: Basis):
         return weak_pair(self.t, self.X, basis, self.known_rhs,
-                         widths=self.widths, stride=self.stride, p=self.p)
+                         widths=self.widths, stride=self.stride, p=self.p,
+                         features=self.features)

@@ -52,6 +52,8 @@ def multiple_shoot(
     adjoint=None,
     max_steps: int = 256,
     loss_fn: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = None,
 ):
     """Segmented trajectory loss (``hudson_bay.jl:115-117``).
 
@@ -62,6 +64,14 @@ def multiple_shoot(
       group_size / continuity_term: reference's knobs (e.g. 5 / 200).
       loss_fn: per-segment data loss ``(pred, target, mask) -> scalar``;
         defaults to masked squared error.
+      mesh / mesh_axis: optional ``jax.sharding.Mesh`` (+ axis name,
+        default the mesh's first axis): the segment batch — this domain's
+        "sequence parallelism" axis (SURVEY.md §2.4) — is sharding-
+        constrained over it, so under ``jit`` XLA places
+        ``n_seg / mesh_size`` vmapped segment solves per device and
+        reduces the data/continuity sums with a ``psum`` over ICI.
+        Parameters replicate (they are tiny).  Best with ``n_seg`` a
+        multiple of the mesh size; ragged cases are padded by GSPMD.
 
     Returns scalar loss = Σ segment data loss + continuity_term · Σ
     ‖pred_end(i) − data_start(i+1)‖².
@@ -79,6 +89,14 @@ def multiple_shoot(
     seg_ts = ts[idx]  # (n_seg, g)
     seg_data = data[idx]  # (n_seg, g, dim)
     u0s = seg_data[:, 0, :]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh_axis or mesh.axis_names[0]
+        seg_sh = NamedSharding(mesh, PartitionSpec(axis))
+        seg_ts = jax.lax.with_sharding_constraint(seg_ts, seg_sh)
+        seg_data = jax.lax.with_sharding_constraint(seg_data, seg_sh)
+        u0s = jax.lax.with_sharding_constraint(u0s, seg_sh)
 
     def solve_segment(u0, tw):
         prob = ODEProblem(rhs, u0, (tw[0], tw[-1]), params)
