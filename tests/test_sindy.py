@@ -315,6 +315,61 @@ def test_select_by_simulation_refit_judge(method, iters):
                                atol=2e-2)
 
 
+def test_select_by_simulation_holdout_scoring():
+    """holdout_stride: the refit fits only the kept save points and the
+    selection scores on the held-out ones.  On clean data the true sparse
+    structure must still win with near-true coefficients and a holdout
+    loss at the (zero) noise floor.  (On the LV study's hardest level this
+    mode is a measured NEGATIVE — see the select_by_simulation docstring
+    and examples/lotka_volterra/results/residual_attribution.json — but
+    its semantics are pinned here.)"""
+    import universal_differential_equations_tpu as ude
+    from universal_differential_equations_tpu.core.integrate import (
+        integrate_fixed,
+    )
+
+    basis = sd.polynomial_basis(2, 2)
+    m = len(basis)
+    i_x, i_y = basis.names.index("u1"), basis.names.index("u2")
+    i_xy = basis.names.index("u1*u2")
+
+    def dense_rhs(t, u, C):
+        return basis.theta(u[None, :])[0] @ C
+
+    C_true = jnp.zeros((m, 2)).at[i_x, 0].set(1.3).at[i_xy, 0].set(-0.9) \
+        .at[i_y, 1].set(-1.8).at[i_xy, 1].set(0.8)
+    u0 = jnp.array([0.44249296, 4.6280594])
+    n_save, sub = 31, 4
+    n_steps = (n_save - 1) * sub
+    _, ys = integrate_fixed(dense_rhs, u0, 0.0, 3.0, C_true,
+                            ude.Tsit5(), n_steps)
+    data = ys[::sub]
+
+    def col(pairs):
+        c = jnp.zeros((m,))
+        for i, v in pairs:
+            c = c.at[i].set(v)
+        return c
+
+    cand1 = (jnp.stack([col([(i_x, 1.25), (i_xy, -0.93)]),
+                        col([(i_x, 1.3), (i_xy, -0.9), (i_y, 0.05)])]),
+             jnp.array([True, True]))
+    cand2 = (jnp.stack([col([(i_y, -1.85), (i_xy, 0.83)]),
+                        col([(i_y, -1.8), (i_xy, 0.8), (i_x, 0.05)])]),
+             jnp.array([True, True]))
+    sizes = [jnp.array([2, 3]), jnp.array([2, 3])]
+    C_sel, loss, k_tot = sd.select_by_simulation(
+        [cand1, cand2], dense_rhs, u0, 0.0, 3.0, data, ude.Tsit5(),
+        n_steps, sub=sub, rel_factor=1.5, refit_iters=12,
+        loss_floor=1e-10, max_total_support=6, sizes=sizes,
+        refit_all=True, refit_method="lm", holdout_stride=2)
+    assert int(k_tot) == 4
+    assert float(loss) < 1e-6  # held-out MSE at the clean-data floor
+    assert (np.asarray(C_sel != 0.0) == np.asarray(C_true != 0.0)).all()
+    np.testing.assert_allclose(np.asarray(C_sel), np.asarray(C_true),
+                               atol=3e-2)
+
+
 def test_best_per_support_per_size_distinct_supports():
     xi = jnp.array([
         [1.0, 0.0, 0.0],   # support {0}, score 1

@@ -283,6 +283,7 @@ def select_by_simulation(
     refit_all: bool = False,
     refit_top=1,
     refit_method: str = "bfgs",
+    holdout_stride: int = 0,
 ):
     """Pick the sparsest candidate combination that re-simulates ``data``.
 
@@ -327,6 +328,22 @@ def select_by_simulation(
       had the true sparsest combination in the ladder and inside the loss
       band, but ranked 3rd/4th pre-refit — so the smallest size warrants
       exhaustive refits (``per_size**T``) while larger sizes keep top-2.
+
+    ``holdout_stride > 0`` makes the refit judge score OUT OF SAMPLE:
+    every ``holdout_stride``-th save point is excluded from the refit
+    objective and the selection loss is the mean-squared residual on
+    those held-out points alone (``loss_floor`` keeps its meaning — the
+    held-out MSE of a perfect fit is the same noise floor).  MEASURED
+    NEGATIVE RESULT on the LV study's hardest level (5e-2, judge-oracle
+    playoff on the archived 500 lanes): interleaved holdout does NOT
+    rescue lanes where an adversarially selected same-sparsity structure
+    out-refits the truth — those structures produce smooth trajectories
+    that track the noisy samples in- and out-of-sample equally (40% hard-
+    lane conversion unchanged), while the 2× smaller scoring set ADDS
+    variance on easy lanes (98→91%).  Widening ``loss_floor`` 1.3→3× is
+    equally ineffective (the losing lanes tie on sparsity, not the band).
+    Kept as an option for problems with sparser/rougher sampling where
+    between-sample mismatch is informative.
 
     Ladders built with ``per_size > 1`` must pass their rung support
     sizes via ``sizes`` (one array per target); otherwise rung r is
@@ -379,6 +396,21 @@ def select_by_simulation(
 
     from ..train import bfgs_minimize  # deferred: train is a sibling layer
 
+    n_save = data.shape[0]
+    if holdout_stride:
+        # held-out points: every holdout_stride-th save (never index 0 —
+        # it seeds the simulation); per-point weights broadcast over the
+        # state dimension
+        hold = (jnp.arange(n_save) % holdout_stride) == (holdout_stride - 1)
+        w_train = jnp.where(hold, 0.0, 1.0)[(...,) + (None,) * (data.ndim - 1)]
+        w_hold = jnp.where(hold, 1.0, 0.0)[(...,) + (None,) * (data.ndim - 1)]
+        n_hold = jnp.sum(hold) * (data.size // n_save)
+    else:
+        # keep the default path's traced program BYTE-IDENTICAL to the
+        # unweighted form: an always-on multiply-by-ones would invalidate
+        # every cached judge program (25-min TPU recompiles) for nothing
+        w_train = w_hold = None
+
     T = len(candidates)
     if refit_all:
         # judge every valid combination (small K^T only — e.g. a single
@@ -419,11 +451,20 @@ def select_by_simulation(
         def loss(C):
             _, ys = integrate_fixed(dense_rhs, u0, t0, t1, C * mask,
                                     solver, n_steps)
-            return jnp.mean((ys[::sub] - data) ** 2)
+            r = ys[::sub] - data
+            if holdout_stride:
+                r = w_train * r
+            return jnp.mean(r ** 2)
 
         r = bfgs_minimize(loss, C0, maxiters=refit_iters,
                           initial_stepnorm=0.01)
-        val = jnp.where(jnp.isfinite(r.value), r.value, jnp.inf)
+        if holdout_stride:
+            _, ys = integrate_fixed(dense_rhs, u0, t0, t1, r.params * mask,
+                                    solver, n_steps)
+            val = jnp.sum((w_hold * (ys[::sub] - data)) ** 2) / n_hold
+        else:
+            val = r.value
+        val = jnp.where(jnp.isfinite(val), val, jnp.inf)
         return val, r.params * mask
 
     def refit_lm(C0):
@@ -436,11 +477,15 @@ def select_by_simulation(
         mflat = mask.ravel()
         n_res = data.size
 
-        def r_flat(x):
+        def r_raw(x):
             _, ys = integrate_fixed(dense_rhs, u0, t0, t1,
                                     x.reshape(C0.shape) * mask,
                                     solver, n_steps)
-            return (ys[::sub] - data).ravel()
+            return ys[::sub] - data
+
+        def r_flat(x):
+            r = r_raw(x)
+            return ((w_train * r) if holdout_stride else r).ravel()
 
         def jac(x):
             return jax.jacfwd(r_flat)(x) * mflat[None, :]
@@ -479,7 +524,12 @@ def select_by_simulation(
             body, (x0, r0, J0, loss0, jnp.asarray(1e-3, x0.dtype),
                    jnp.asarray(True)), None,
             length=refit_iters)
-        val = jnp.where(jnp.isfinite(lv), lv / n_res, jnp.inf)
+        if holdout_stride:
+            r_h = w_hold * r_raw(x)
+            val = jnp.sum(r_h * r_h) / n_hold
+        else:
+            val = lv / n_res
+        val = jnp.where(jnp.isfinite(val), val, jnp.inf)
         return val, x.reshape(C0.shape) * mask
 
     assert refit_method in ("bfgs", "lm"), refit_method
