@@ -118,6 +118,15 @@ I_XY = BASIS.names.index("u1*u2")
 BFGS_ROUNDS = 4
 BFGS_ITERS_PER_ROUND = 250  # watchdog-safe device-program length
 LM_ROUNDS = 2
+# The BFGS/LM split is the measured speed-quality frontier knob
+# (benchmarks/lm_schedule.py; committed artifacts lm_schedule_r05*.json,
+# all at 100/level on the TPU): 4:2 = 510 ms/run at the published rates;
+# 2:3 = 384 ms with −5 pts exact at 1e-2 (±≤2 elsewhere); 1:4 = 300 ms
+# with −12 pts at 1e-2; 0 BFGS rounds is catastrophic (LM needs the BFGS
+# basin).  Sub-400 ms at UNCHANGED rates is not on this frontier — the
+# 1e-2 basins genuinely need the quasi-Newton iterations — so the default
+# stays 4:2 and the cheaper points are documented operating modes
+# (main(bfgs_rounds=..., lm_rounds=...)).
 K_SEL = 5  # parsimony-ladder rungs (support sizes 1..K_SEL) per equation
 MAX_TOTAL_SUPPORT = 5
 REFIT_ITERS = 12
