@@ -141,18 +141,20 @@ HIST_STRIDE = 4  # archive every 4th training-loss sample (f16) per lane
 
 def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
                 aicc=None, loss_hist=None, exact_o=None, contains_o=None,
-                exact_w=None, contains_w=None):
+                exact_w=None, contains_w=None, exact_j=None):
     """`loop_evaluation.jl` figure analogues: per-noise-level success-rate
     bars (:120-126) and the recovered-coefficient spread vs the true values
     (re-plottable from the archive without retraining, like Plotfigs.jl).
     ``exact_o``/``contains_o``: optional oracle (identifiability-ceiling)
     rates drawn as caps over the trained-arm bars; ``exact_w``/
     ``contains_w``: optional weak-form (training-free) arm rates drawn as
-    dots alongside them."""
+    dots alongside them; ``exact_j``: optional judge-oracle rates (the
+    playoff with truth injected — results/attribution.npz) drawn as x
+    markers, the measured data-only selection limit."""
     from universal_differential_equations_tpu import viz
 
-    def _with_arms(fig, rates_o, rates_w):
-        if rates_o is None and rates_w is None:
+    def _with_arms(fig, rates_o, rates_w, rates_j=None):
+        if rates_o is None and rates_w is None and rates_j is None:
             return fig
         ax = fig.axes[0]
         x = np.arange(len(noise))
@@ -166,6 +168,11 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
             ax.plot(x, r, linestyle="none", marker="o", markersize=5,
                     color=viz.SERIES[2], zorder=5,
                     label="weak-form arm (training-free)")
+        if rates_j is not None:
+            r = 100.0 * np.asarray(rates_j, dtype=float)
+            ax.plot(x, r, linestyle="none", marker="x", markersize=6,
+                    markeredgewidth=1.6, color=viz.SERIES[3], zorder=5,
+                    label="judge-oracle (truth offered) — data-only limit")
         ax.legend(fontsize=7, loc="lower left")
         return fig
 
@@ -174,7 +181,8 @@ def write_plots(exact, contains, c1, c2, noise, final_loss=None, err=None,
         noise, exact.mean(axis=1), counts=exact.shape[1],
         title="exact {x·y} structural recovery"),
         None if exact_o is None else exact_o.mean(axis=1),
-        None if exact_w is None else exact_w.mean(axis=1)),
+        None if exact_w is None else exact_w.mean(axis=1),
+        None if exact_j is None else exact_j.mean(axis=1)),
         outdir / "loop_success_exact.pdf")
     viz.save(_with_arms(viz.plot_success_rates(
         noise, contains.mean(axis=1), counts=contains.shape[1],
@@ -1319,10 +1327,16 @@ if __name__ == "__main__":
     elif args.attribution:
         attribution()
     elif args.plot_only:
+        attr_path = Path(__file__).parent / "results" / "attribution.npz"
+        exact_j = None
+        if attr_path.exists():
+            with np.load(attr_path) as za:
+                exact_j = za["exact"]
         with np.load(Path(__file__).parent / "results" / "loop_study.npz") as z:
             write_plots(z["exact"], z["contains"], z["coef1"], z["coef2"],
-                        z["noise"],
-                        z["final_loss"] if "final_loss" in z.files else None,
+                        z["noise"], exact_j=exact_j,
+                        final_loss=(z["final_loss"]
+                                    if "final_loss" in z.files else None),
                         err=z["err"] if "err" in z.files else None,
                         aicc=z["aicc"] if "aicc" in z.files else None,
                         loss_hist=(z["loss_hist"]
