@@ -644,6 +644,46 @@ def test_select_by_simulation_refit_top_rescues_hidden_truth():
 
 
 # ---------------------------------------------------------------------------
+def test_stability_selection_separates_true_from_spurious():
+    # Meinshausen-Buhlmann stability selection over Bernoulli row
+    # subsamples (capability extension — the reference has one-shot
+    # selection only): the true sparse support must survive nearly every
+    # subsample while spurious terms flicker.  Also pins jit-
+    # traceability and determinism for a fixed key.  (On near-collinear
+    # libraries like the LV degree-5 + sin stack, STLSQ's greedy path can
+    # drop the true term at tight supports in EVERY subsample — that
+    # failure mode belongs to the base optimizer and is why the study
+    # pairs ladders with the simulation judge; this test uses a
+    # well-conditioned library to pin the stability machinery itself.)
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    N, m = 60, 10
+    theta = jax.random.normal(k1, (N, m))
+    xi_true = jnp.zeros((m,)).at[2].set(1.5).at[7].set(-0.8)
+    y = theta @ xi_true + 0.05 * jax.random.normal(k2, (N,))
+    lams = tuple(10.0 ** e for e in np.arange(-3.0, 1.0, 0.25))
+    opt = sd.STLSQ(lams)
+    freq = jax.jit(lambda yy: sd.stability_selection(
+        theta, yy, opt, jax.random.PRNGKey(7), n_subsets=64, frac=0.7,
+        max_support=4))(y)
+    freq = np.asarray(freq)
+    assert freq.shape == (m,)
+    assert freq[2] >= 0.95 and freq[7] >= 0.95, freq
+    # thresholding at the M&B range recovers exactly the true support
+    # (a weakly correlated term may tag along in up to ~60% of subsets —
+    # that is the uncertainty signal the frequencies exist to expose)
+    others = np.delete(freq, [2, 7])
+    assert others.max() < 0.8, freq
+    np.testing.assert_array_equal(freq >= 0.8,
+                                  np.asarray(xi_true != 0.0))
+    assert np.median(others) <= 0.1, freq
+    # deterministic for a fixed key
+    freq2 = np.asarray(sd.stability_selection(
+        theta, y, opt, jax.random.PRNGKey(7), n_subsets=64, frac=0.7,
+        max_support=4))
+    np.testing.assert_array_equal(freq, freq2)
+
+
 # Weak-form (integral) regression — sindy/weak.py (C19/C20 extension)
 
 

@@ -13,6 +13,7 @@ from .select import (
     best_per_support,
     cv_ladder,
     select_by_simulation,
+    stability_selection,
     two_stage_recovery,
 )
 from .solve import (

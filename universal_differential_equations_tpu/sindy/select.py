@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ..core.integrate import integrate_fixed
 
 __all__ = ["best_per_support", "cv_ladder", "select_by_simulation",
-           "two_stage_recovery"]
+           "stability_selection", "two_stage_recovery"]
 
 
 def _svht_denoise_traced(theta):
@@ -223,6 +223,70 @@ def cv_ladder(theta, y, optimizer, max_support, *, per_size: int = 1,
     cv = jax.vmap(fold)(folds).mean(axis=0)
     return best_per_support(xi * ysc / fsc, active, cv, max_support,
                             per_size=per_size)
+
+
+def stability_selection(theta, y, optimizer, key, *, n_subsets: int = 64,
+                        frac: float = 0.7, max_support: int = 0,
+                        normalize: bool = True):
+    """Per-term selection frequencies over random row subsamples
+    (stability selection, Meinshausen & Bühlmann 2010, arXiv:0809.2932) —
+    a structure-uncertainty quantifier the reference repository has no
+    analogue of: instead of ONE support, it reports how often each
+    library term survives sparse regression when the data is repeatedly
+    subsampled.  Terms whose frequency stays near 1 are stably
+    identified; terms that flicker are noise artifacts, whatever single-
+    fit criterion happened to keep them.
+
+    TPU-native design: the B subsamples are Bernoulli row weights folded
+    into the normal equations, so the whole procedure is ONE vmapped
+    ``optimizer.fit_grid`` batch — no data movement, no host loop — and
+    runs unchanged inside ensemble lanes (traceable for static shapes).
+
+    Args:
+      theta: (N, m) feature matrix (pointwise Θ(X) or a weak pair's G).
+      y: (N,) regression target.
+      optimizer: ``fit_grid(gram, corr) -> (xi, active)`` (STLSQ/SR3/…);
+        its λ grid is the regularization path the frequencies maximize
+        over (the M&B per-λ probability, reduced by max over the path).
+      key: PRNGKey for the subsample draws.
+      n_subsets / frac: number of subsamples and kept-row fraction.
+      max_support: restrict the path to candidates with support size in
+        [1, max_support] before the max (0 = any nonempty candidate) —
+        without it the loosest λ's dense fits report every term stable.
+      normalize: column-RMS feature and RMS target scaling (as the other
+        front ends).
+
+    Returns ``freq``: (m,) — ``freq[i]`` = fraction of subsamples in
+    which term i is active in some path candidate within the support
+    band.  A stable support is e.g. ``freq >= 0.6`` (M&B's threshold
+    range 0.6–0.9).
+    """
+    theta = jnp.asarray(theta)
+    y = jnp.asarray(y)
+    n_rows, m = theta.shape
+    if normalize:
+        fsc = jnp.linalg.norm(theta, axis=0) / jnp.sqrt(1.0 * n_rows)
+        fsc = jnp.where(fsc > 0, fsc, 1.0)
+        th_n = theta / fsc
+        yn = y / (jnp.sqrt(jnp.mean(y**2)) + 1e-30)
+    else:
+        th_n = theta
+        yn = y
+    keep = jax.random.bernoulli(key, frac, (n_subsets, n_rows))
+
+    def one(w):
+        wf = w.astype(th_n.dtype)
+        gram = th_n.T @ (th_n * wf[:, None])
+        corr = th_n.T @ (yn * wf)
+        _, active = optimizer.fit_grid(gram, corr)  # (L, m)
+        k = active.sum(axis=1)
+        ok = k >= 1
+        if max_support:
+            ok = ok & (k <= max_support)
+        return jnp.any(active & ok[:, None], axis=0)
+
+    sel = jax.vmap(one)(keep)  # (B, m) bool
+    return jnp.mean(sel.astype(th_n.dtype), axis=0)
 
 
 def best_per_support(xi, active, score, max_support, per_size: int = 1):
