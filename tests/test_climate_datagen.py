@@ -177,6 +177,22 @@ def test_rayleigh_taylor_sharded_matches_single_device():
     np.testing.assert_allclose(b1, b0, atol=5e-5)
 
 
+def test_rigid_lid_sharded_matches_single_device():
+    """The rigid-lid variant under x-domain-decomposition: the mirror
+    extension concatenates along z (unsharded) while XLA shards x, so the
+    image-charge projection must partition cleanly and the b̄(z) profiles
+    match the single-device rigid-lid run to roundoff accumulation."""
+    from jax.sharding import Mesh
+
+    kwargs = dict(N=(16, 2, 16), end_time=0.4, save_every=0.1, ni=5,
+                  key=jax.random.PRNGKey(1), bc="rigid_lid")
+    ts0, z0, b0 = rayleigh_taylor_3d(**kwargs)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("x",))
+    ts1, z1, b1 = rayleigh_taylor_3d(**kwargs, mesh=mesh)
+    np.testing.assert_allclose(ts1, ts0, rtol=1e-6)
+    np.testing.assert_allclose(b1, b0, atol=5e-5)
+
+
 def test_coarse_grain_block_average():
     x = np.arange(16.0)
     cg = np.asarray(coarse_grain(x, 4))
