@@ -110,13 +110,12 @@ def main():
     # programs, so session drift alone moves the headline by ~0.05-0.1 s —
     # recording the measured RTT in-band lets a reader reconcile this
     # number with the same metric in benchmarks/results_r*.json without
-    # external context (VERDICT r4 weak #4).
-    null = jax.jit(lambda x: x + 1.0)
-    jax.block_until_ready(null(jnp.zeros(())))
-    t_n = time.perf_counter()
-    for _ in range(10):
-        jax.block_until_ready(null(jnp.zeros(())))
-    rtt_ms = (time.perf_counter() - t_n) / 10 * 1e3
+    # external context (one shared definition: utils.null_dispatch_seconds)
+    from universal_differential_equations_tpu.utils import (
+        null_dispatch_seconds,
+    )
+
+    rtt_ms = null_dispatch_seconds()["mean_s"] * 1e3
     walls_raw = list(walls)
     walls.sort()
     median = walls[len(walls) // 2]

@@ -42,7 +42,11 @@ Rows (reference evidence in parentheses):
     study's 500 lanes (sindy/weak.py + the simulation judge; scored
     against the same modeled 20 s/run loop reading as row 5)
 
-Usage: python benchmarks/run_all.py [--rows 1,...,13] [--quick]
+14. Combo pipeline end-to-end (trained + weak arms + per-lane playoff)
+15. Rigid-lid RT variant (reference-tank BCs) + the measured b-bar
+    dataset shift vs the periodic-z fast path
+
+Usage: python benchmarks/run_all.py [--rows 1,...,15] [--quick]
 """
 import argparse
 import importlib.util
@@ -73,13 +77,13 @@ def _null_rtt_ms():
     """Measured per-dispatch tunnel round trip (drifts 24-69 ms between
     sessions, CLAUDE.md) — recorded in the short-wall rows' extra so the
     committed artifact explains its own session-to-session drift against
-    bench.py's headline (VERDICT r4 weak #4)."""
-    null = jax.jit(lambda x: x + 1.0)
-    jax.block_until_ready(null(jnp.zeros(())))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        jax.block_until_ready(null(jnp.zeros(())))
-    return round((time.perf_counter() - t0) / 10 * 1e3, 1)
+    bench.py's headline; one shared definition
+    (utils.null_dispatch_seconds) across both reporters."""
+    from universal_differential_equations_tpu.utils import (
+        null_dispatch_seconds,
+    )
+
+    return round(null_dispatch_seconds()["mean_s"] * 1e3, 1)
 
 
 def row_fisher(variant, baseline, quick, label=None):

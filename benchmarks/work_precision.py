@@ -47,7 +47,13 @@ import jax
 # CLAUDE.md — so a naive per-solve wall on TPU times the wire).  Reference
 # trajectories are still computed in float64 on the host CPU (the x64_host
 # pattern; f64 on the TPU worker can crash it outright).
-TPU_TIMES = "--tpu-times" in sys.argv
+# exact-literal sniff, gated on THIS script being the entry point: an
+# importlib load from another process whose argv happens to contain
+# --tpu-times must NOT skip the CPU/x64 forcing (f64 issued to the TPU
+# backend can crash the worker), and argparse prefix abbreviations
+# (--tpu) are rejected below so the flag either matches here or errors.
+TPU_TIMES = ("--tpu-times" in sys.argv
+             and Path(sys.argv[0]).name == Path(__file__).name)
 if not TPU_TIMES:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
@@ -290,7 +296,7 @@ def write_plots(rows):
 
 
 def main():
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(allow_abbrev=False)
     ap.add_argument("--sets", default="nonstiff,stiff,sde")
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--tpu-times", action="store_true",

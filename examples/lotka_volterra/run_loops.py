@@ -970,8 +970,10 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
           f"{lm_rounds} LM rounds", flush=True)
     if (bfgs_rounds, lm_rounds) != (BFGS_ROUNDS, LM_ROUNDS):
         # chunk archives do not encode the schedule: a non-default run must
-        # not write resume checkpoints a default study would pick up
+        # neither write checkpoints a default study would pick up NOR
+        # resume default-schedule chunks as its own results
         assert not archive, "schedule overrides require archive=False"
+        assert not resume, "schedule overrides require resume=False"
     # Per-chunk group-append checkpointing (loop_recoveries.jl:132-140 —
     # the reference appends each run to the shared JLD2 inside the loop, so
     # a killed study resumes where it stopped; our unit is the lane chunk).
@@ -1244,10 +1246,18 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
                      if exact_c is not None else {}))
         print(f"archived to {arch.root}/loop_study.npz")
     if plot:
+        # judge-oracle overlay when an attribution run has been archived —
+        # keeps --plot and --plot-only producing the same figure
+        attr_path = Path(__file__).parent / "results" / "attribution.npz"
+        exact_j = None
+        if attr_path.exists():
+            with np.load(attr_path) as za:
+                if za["exact"].shape == (n_levels, runs_per_level):
+                    exact_j = za["exact"]
         write_plots(exact, contains, c1, c2, np.asarray(NOISE_LEVELS),
                     fin_loss, err=err, aicc=aicc, loss_hist=loss_hist,
                     exact_o=exact_o, contains_o=contains_o,
-                    exact_w=exact_w, contains_w=contains_w)
+                    exact_w=exact_w, contains_w=contains_w, exact_j=exact_j)
     # gates at the measured band minus a reproducibility margin (measured
     # r2 full study with the restart pass: contains 96/96%, exact 96/95%
     # at 1e-3/5e-3); small runs keep a wider margin — at 4/level one

@@ -133,9 +133,10 @@ def test_rigid_lid_vs_periodic_dataset_shift_small():
     # The quantified fidelity question from the periodic-z deviation note:
     # how far do the training profiles move when the lids are honest?
     # Measured here on the 32x2x32 smoke grid; the reference-scale
-    # (128x2x128) number is committed by benchmarks/run_all.py row 6's
-    # extra.  The shift must be nonzero (the BCs differ) but small
-    # relative to the profile scale.
+    # (128x2x128) number is committed by benchmarks/run_all.py row 15
+    # (rt_rigid_lid_ms_per_step, extra.dataset_shift_rel_l2).  The shift
+    # must be nonzero (the BCs differ) but small relative to the profile
+    # scale.
     kwargs = dict(N=(32, 2, 32), end_time=1.0, save_every=0.25, ni=5,
                   key=jax.random.PRNGKey(4))
     ts_p, z, bp = rayleigh_taylor_3d(bc="periodic", **kwargs)

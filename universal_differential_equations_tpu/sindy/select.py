@@ -462,9 +462,13 @@ def select_by_simulation(
 
     n_save = data.shape[0]
     if holdout_stride:
-        # held-out points: every holdout_stride-th save (never index 0 —
-        # it seeds the simulation); per-point weights broadcast over the
-        # state dimension
+        # held-out points: every holdout_stride-th save; per-point weights
+        # broadcast over the state dimension.  stride >= 2 keeps index 0
+        # (the simulation seed) in the refit set, and stride <= n_save
+        # guarantees a nonempty holdout (an empty one would make every
+        # score 0/0 -> inf and the argmin silently arbitrary)
+        assert 2 <= holdout_stride <= n_save, (
+            f"holdout_stride must be in [2, {n_save}], got {holdout_stride}")
         hold = (jnp.arange(n_save) % holdout_stride) == (holdout_stride - 1)
         w_train = jnp.where(hold, 0.0, 1.0)[(...,) + (None,) * (data.ndim - 1)]
         w_hold = jnp.where(hold, 1.0, 0.0)[(...,) + (None,) * (data.ndim - 1)]

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-from .profiling import StepTimer, benchmark, trace
+from .profiling import StepTimer, benchmark, null_dispatch_seconds, trace
 
 __all__ = ["ravel_pytree", "flat_dim", "zeros_like_tree", "tree_where",
            "tree_add", "tree_scale", "rescale_problem",

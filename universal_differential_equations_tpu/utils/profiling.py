@@ -18,9 +18,32 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["benchmark", "trace", "StepTimer"]
+__all__ = ["benchmark", "null_dispatch_seconds", "trace", "StepTimer"]
+
+
+def null_dispatch_seconds(repeats: int = 10):
+    """Per-dispatch round-trip of a cached trivial program — the tunnel
+    latency every dispatch pays regardless of compute (drifts 24-69 ms
+    between sessions on the tunneled TPU, CLAUDE.md, so it must be
+    MEASURED wherever a benchmark subtracts or reports it).  One shared
+    definition for every artifact that records ``null_dispatch_ms``:
+    mean and min of ``repeats`` synchronized round trips.
+
+    Returns dict(mean_s, min_s).
+    """
+    null = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    jax.block_until_ready(null(x))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(null(x))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    return dict(mean_s=float(times.mean()), min_s=float(times.min()))
 
 
 def benchmark(fn: Callable, *args, repeats: int = 20, warmup: int = 2, **kw):
