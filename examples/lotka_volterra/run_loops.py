@@ -129,7 +129,12 @@ LM_ROUNDS = 2
 # (main(bfgs_rounds=..., lm_rounds=...)).
 K_SEL = 5  # parsimony-ladder rungs (support sizes 1..K_SEL) per equation
 MAX_TOTAL_SUPPORT = 5
-REFIT_ITERS = 12
+REFIT_ITERS = 8  # LM judge refit budget — measured knee (r5,
+# benchmarks/refit_budget_r05.json): 8/12/16 iters give IDENTICAL exact
+# rates at 20/level, and a full 500-lane study at 8 reproduces the
+# published 96/95/93/79/53 exactly while cutting the recovery stage
+# 129 -> 98 ms/lane (the refit losses converge before iteration 8 and
+# the selection is deterministic in them)
 REFIT_TOP = (4, 2, 2, 2)  # exhaustive smallest-size refits, top-2 above
 CHUNK = 25  # lanes per dispatch (larger chunks trip the runtime watchdog)
 RECOVER_CHUNK = 25  # recovery-stage lanes per dispatch: the LM judge's
@@ -1130,7 +1135,11 @@ def main(runs_per_level=100, plot=False, resume=True, archive=True,
         (ADVICE r4)."""
         import hashlib
 
-        h = hashlib.sha1(repr(cfg).encode())
+        # the judge constants are part of every selection arm's program:
+        # bake them into the key so a budget change recomputes instead of
+        # silently resuming chunks judged under the old budget
+        judge_cfg = (REFIT_ITERS, MAX_TOTAL_SUPPORT, K_SEL, REFIT_TOP)
+        h = hashlib.sha1(repr((cfg, judge_cfg)).encode())
         for e in extras:
             h.update(np.ascontiguousarray(np.asarray(e)).tobytes())
         tag = h.hexdigest()[:8]
