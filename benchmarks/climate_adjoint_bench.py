@@ -153,11 +153,26 @@ def main():
     times.sort()
     median = times[len(times) // 2]
 
+    # in-band reconciliation with run_all.py row 3 (which reports CHAINED
+    # device time, null dispatch subtracted): this bench's per-dispatch
+    # median includes one tunnel RTT, measured here with the shared
+    # definition so the two committed numbers explain their own gap
+    from universal_differential_equations_tpu.utils import (
+        null_dispatch_seconds,
+    )
+
+    rtt_ms = null_dispatch_seconds()["mean_s"] * 1e3
     print(json.dumps({
         "metric": "climate_npde_adjoint_loss_grad",
         "value": round(median * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_SECONDS / median, 2),
+        "extra": {
+            "null_dispatch_ms": round(rtt_ms, 1),
+            "definition": "per-dispatch median wall incl. one tunnel RTT; "
+                          "results_r*.json row climate_adjoint_loss_grad "
+                          "is the chained null-subtracted device time",
+        },
     }))
 
 
